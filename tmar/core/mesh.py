@@ -1,0 +1,96 @@
+"""Device mesh and sharding helpers.
+
+The reference framework has no distributed runtime at all (its only multi-device
+construct is a dormant ``nn.DataParallel`` guard, reference
+training/train_combined.py:234-253).  Here the runtime is first-class: a
+``jax.sharding.Mesh`` over which the GAN train step is jit-compiled, with batch
+data sharded over the ``data`` axis and parameters replicated.  XLA inserts the
+gradient ``psum`` collectives automatically from the sharding annotations.
+
+The default single-axis mesh targets a TPU v5e-8 slice (8 chips over ICI); a
+second ``model`` axis is supported for spatial / tensor sharding experiments.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def local_mesh_devices(n_devices: Optional[int] = None) -> list:
+    """Return up to ``n_devices`` local devices (all by default)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return devices
+
+
+def create_mesh(
+    n_devices: Optional[int] = None,
+    *,
+    model_parallel: int = 1,
+    axis_names: Sequence[str] = (DATA_AXIS, MODEL_AXIS),
+) -> Mesh:
+    """Create a ``Mesh`` with a data axis and an optional model axis.
+
+    ``model_parallel=1`` gives the canonical pure data-parallel layout used for
+    training (the reference's recipe is single-device; DP over the mesh is the
+    TPU-native scale-out, SURVEY.md §2.12).
+    """
+    devices = local_mesh_devices(n_devices)
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    dp = n // model_parallel
+    device_array = np.array(devices).reshape(dp, model_parallel)
+    return Mesh(device_array, axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Sharding that splits the leading (batch) dim over the data axis."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with the batch dim sharded."""
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, max(x.ndim, 1)))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def force_host_device_count(n: int) -> None:
+    """Set up N virtual CPU devices (must run before jax initialises).
+
+    Used by tests and ``__graft_entry__.dryrun_multichip`` to validate
+    multi-chip sharding without TPU hardware.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()

@@ -1,0 +1,119 @@
+"""NSTB — the N-Gram Swin Transformer Block.
+
+Faithful to reference models/generator/components/transformer_blocks.py:11-120,
+including its two idiosyncrasies:
+
+* **post-norm residual order**: ``x + DropPath(norm1(attn(x)))`` then
+  ``x + DropPath(norm2(mlp(x)))`` — LayerNorm *after* the sublayer
+  (transformer_blocks.py:117-119), unlike standard (pre-norm) Swin.
+* the block returns ``(x_in, x_out)`` so stages can apply the within-stage
+  residual ``next_input = out + prev_input`` (encoder_decoder.py:138-141).
+
+The SW-MSA shift mask is built at trace time from the static patch grid, so
+train/eval shape buckets each get their correct constant-folded mask
+(the reference rebuilds eval masks dynamically, transformer_blocks.py:97-101).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from tmar.nn.layers import DropPath, Mlp, layer_norm
+from tmar.nn.ngram import NGramWindowPartition
+from tmar.nn.window_attention import WindowAttention
+from tmar.ops.window import (
+    reverse_cyclic_shift,
+    shift_attn_mask,
+    window_unpartition,
+)
+
+
+@lru_cache(maxsize=None)
+def _cached_mask(num_patches: Tuple[int, int], window_size: int, shift: int) -> np.ndarray:
+    return shift_attn_mask(num_patches, window_size, shift)
+
+
+class NSTB(nn.Module):
+    dim: int
+    ngram: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    head_dim: Optional[int] = None
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_patches: Tuple[int, int], deterministic: bool = True):
+        """x: [B, ph*pw, D]; num_patches static (ph, pw).
+
+        Returns (x_in, x_out) for the within-stage residual.
+        """
+        assert 0 <= self.shift_size < self.window_size
+        ph, pw = num_patches
+        B, p, D = x.shape
+        assert p == ph * pw, "token count does not match patch grid"
+
+        x_in = x
+        attn_out = self._attention(x, num_patches, deterministic)
+        x = x + DropPath(self.drop_path)(
+            layer_norm(self.dtype, name="norm1")(attn_out), deterministic
+        )
+        ffn_out = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=self.dim,
+            drop=self.drop,
+            dtype=self.dtype,
+            name="ffn",
+        )(x, deterministic=deterministic)
+        x = x + DropPath(self.drop_path)(
+            layer_norm(self.dtype, name="norm2")(ffn_out), deterministic
+        )
+        return x_in, x
+
+    def _attention(self, x, num_patches, deterministic):
+        ph, pw = num_patches
+        B, p, D = x.shape
+        ws = self.window_size
+        x = x.reshape(B, ph, pw, D)
+
+        windows, (wh, ww) = NGramWindowPartition(
+            dim=self.dim,
+            window_size=ws,
+            ngram=self.ngram,
+            ngram_num_heads=self.num_heads,
+            shift_size=self.shift_size,
+            dtype=self.dtype,
+            name="ngram_window_partition",
+        )(x, deterministic=deterministic)
+
+        tokens = windows.reshape(-1, ws * ws, D)
+        mask = None
+        if self.shift_size > 0:
+            mask = jnp.asarray(_cached_mask((ph, pw), ws, self.shift_size))
+
+        attn_windows = WindowAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=(ws, ws),
+            head_dim=self.head_dim,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            name="attn",
+        )(tokens, mask=mask, deterministic=deterministic)
+
+        attn_windows = attn_windows.reshape(-1, ws, ws, D)
+        shifted = window_unpartition(attn_windows, (wh, ww))
+        out = reverse_cyclic_shift(shifted, self.shift_size)
+        return out.reshape(B, ph * pw, D)

@@ -1,0 +1,120 @@
+"""N-Gram context modules (the NGswin paper's novelty).
+
+Faithful re-expression of reference
+models/generator/components/window_utils.py:13-153 in NHWC / flax:
+
+* ``NGramContext``: per-window unigram embedding (grouped conv, kernel =
+  stride = window), sequence-reflective padding forward & backward, sliding
+  n×n window attention at dim/2, token-mean (== the reference's unpartition +
+  avg-pool), concat of both directions, 1×1 conv merge.
+* ``NGramWindowPartition``: adds the per-window context to every window
+  (before the cyclic shift), then applies the SW-MSA shift.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tmar.nn.layers import conv_normal_init
+from tmar.nn.window_attention import WindowAttention
+from tmar.ops.ngram import seq_refl_win_pad, sliding_patches
+from tmar.ops.window import cyclic_shift, window_partition
+
+
+class NGramContext(nn.Module):
+    dim: int
+    window_size: int
+    ngram: int
+    ngram_num_heads: int
+    padding_mode: str = "seq_refl_win_pad"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: [B, ph, pw, D] -> context [B, wh, ww, D]."""
+        assert self.padding_mode in ("seq_refl_win_pad", "zero_pad")
+        half = self.dim // 2
+        unigram = nn.Conv(
+            features=half,
+            kernel_size=(self.window_size, self.window_size),
+            strides=(self.window_size, self.window_size),
+            padding="VALID",
+            feature_group_count=half,
+            dtype=self.dtype,
+            kernel_init=conv_normal_init,
+            name="unigram_embed",
+        )(x)  # [B, wh, ww, D/2]
+
+        attn = WindowAttention(
+            dim=half,
+            num_heads=self.ngram_num_heads,
+            window_size=(self.ngram, self.ngram),
+            dtype=self.dtype,
+            name="ngram_attn",
+        )
+
+        def _context(u, back):
+            if self.padding_mode == "seq_refl_win_pad":
+                padded = seq_refl_win_pad(u, self.ngram, back=back)
+            else:
+                p = self.ngram - 1
+                cfg = ((0, 0), (0, p), (0, p), (0, 0)) if not back else ((0, 0), (p, 0), (p, 0), (0, 0))
+                padded = jnp.pad(u, cfg)
+            if self.ngram == 1:
+                padded = u
+            patches = sliding_patches(padded, self.ngram)  # [B, wh, ww, n, n, C]
+            B, wh, ww, n, _, C = patches.shape
+            tokens = patches.reshape(B * wh * ww, n * n, C)
+            out = attn(tokens, deterministic=deterministic)
+            # Mean over window tokens == unpartition + AvgPool2d(ngram)
+            # (reference window_utils.py:70-72).
+            return out.mean(axis=1).reshape(B, wh, ww, C)
+
+        fwd = _context(unigram, back=False)
+        bwd = _context(unigram, back=True)
+        both = jnp.concatenate([fwd, bwd], axis=-1)  # [B, wh, ww, D]
+        merged = nn.Conv(
+            features=self.dim,
+            kernel_size=(1, 1),
+            dtype=self.dtype,
+            kernel_init=conv_normal_init,
+            name="merge",
+        )(both)
+        return merged
+
+
+class NGramWindowPartition(nn.Module):
+    dim: int
+    window_size: int
+    ngram: int
+    ngram_num_heads: int
+    shift_size: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+        """x: [B, ph, pw, D] -> ([B*wh*ww, ws, ws, D], (wh, ww))."""
+        B, ph, pw, D = x.shape
+        ws = self.window_size
+        wh, ww = ph // ws, pw // ws
+        assert wh > 0 and ww > 0, "feature map smaller than window size"
+
+        context = NGramContext(
+            dim=self.dim,
+            window_size=ws,
+            ngram=self.ngram,
+            ngram_num_heads=self.ngram_num_heads,
+            dtype=self.dtype,
+            name="ngram_context",
+        )(x, deterministic=deterministic)  # [B, wh, ww, D]
+
+        # Inject context into each window, then (optionally) cyclic-shift.
+        xw = x.reshape(B, wh, ws, ww, ws, D)
+        xw = xw + context[:, :, None, :, None, :]
+        x = xw.reshape(B, ph, pw, D)
+        x = cyclic_shift(x, self.shift_size)
+        windows, num_windows = window_partition(x, ws)
+        return windows, num_windows
