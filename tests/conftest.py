@@ -13,6 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# A sitecustomize may have pinned jax_platforms to a remote TPU backend at
+# interpreter start (overriding the env var); re-pin to cpu before any
+# backend is initialised.
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

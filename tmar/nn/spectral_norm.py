@@ -53,10 +53,10 @@ class SNConv(nn.Module):
             else None
         )
 
-        # torch weight layout is [out, in, kh, kw] flattened to [out, in*kh*kw];
-        # σ is layout-invariant under row permutation, so flattening HWIO to
-        # [out, kh*kw*in] yields the same σ.
-        w_mat = kernel.transpose(3, 0, 1, 2).reshape(self.features, -1)
+        # Flatten in torch's [out, in, kh, kw] -> [out, in*kh*kw] order so
+        # power-iteration vectors imported from torch checkpoints align
+        # column-for-column (tmar.checkpoint.torch_import).
+        w_mat = kernel.transpose(3, 2, 0, 1).reshape(self.features, -1)
         fan_in = w_mat.shape[1]
 
         u_var = self.variable(
