@@ -1,0 +1,115 @@
+"""End-to-end GAN train-step tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tmar.data import Loader, SyntheticMARDataset
+from tmar.losses import LossWeights
+from tmar.nn import MultiScaleDiscriminator, NGswin
+from tmar.ops import Radon
+from tmar.train import create_train_state, make_eval_step, make_train_step
+
+
+SIZE = 64
+TINY = dict(
+    ngrams=(2, 2, 2, 2), embed_dim=32, depths=(2, 2, 2), num_heads=(2, 2, 2),
+    dec_dim=32, dec_depths=2, dec_num_heads=2, window_size=8,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(mesh8):
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
+    g_tx = optax.adam(1e-4, b1=0.5, b2=0.999)
+    d_tx = optax.adam(2e-4, b1=0.5, b2=0.999)
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, patch_size=SIZE
+    )
+    radon = Radon(SIZE, np.linspace(0, np.pi, 24, endpoint=False))
+    step = make_train_step(
+        gen, disc, g_tx, d_tx, LossWeights(dilation_radius=2), projector=radon,
+        mesh=mesh8, donate=False,
+    )
+    return gen, disc, state, step
+
+
+def _batch(mesh, n=8, seed=0):
+    from tmar.core.mesh import shard_batch
+
+    ds = SyntheticMARDataset(size=SIZE, length=n, base_seed=seed)
+    batch = {
+        "ct": np.stack([ds[i]["ct"] for i in range(n)])[..., None],
+        "gt": np.stack([ds[i]["gt"] for i in range(n)])[..., None],
+    }
+    return shard_batch(mesh, batch)
+
+
+def test_train_step_runs_and_improves(mesh8, setup):
+    gen, disc, state, step = setup
+    batch = _batch(mesh8, 8)
+    state1, m1 = step(state, batch)
+    assert state1.step == 1
+    for k, v in m1.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # all loss terms present for the full recipe
+    assert {"loss_d", "loss_g", "g_adv", "g_fm", "g_rec", "g_edge", "g_phys", "g_metal"} <= set(m1)
+
+    # a few more steps: generator reconstruction term should drop
+    s = state1
+    first_rec = float(m1["g_rec"])
+    for i in range(6):
+        s, m = step(s, _batch(mesh8, 8, seed=100 + i))
+    assert float(m["g_rec"]) < first_rec, (
+        f"rec loss did not improve: {first_rec} -> {float(m['g_rec'])}"
+    )
+    # spectral-norm state actually updated
+    u0 = jax.tree_util.tree_leaves(state.d_sn)[0]
+    u1 = jax.tree_util.tree_leaves(s.d_sn)[0]
+    assert not np.allclose(np.asarray(u0), np.asarray(u1))
+
+
+def test_train_step_param_consistency_across_devices(mesh8, setup):
+    """Replicated params stay identical after a sharded-batch step."""
+    gen, disc, state, step = setup
+    state1, _ = step(state, _batch(mesh8, 8))
+    leaf = jax.tree_util.tree_leaves(state1.g_params)[0]
+    # fully-replicated sharding: committed and consistent
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_mse_only_variant_step(mesh8):
+    """A0/MSE-only config: no D applications inside the G step."""
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
+    g_tx = optax.adam(1e-4)
+    d_tx = optax.adam(2e-4)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, SIZE)
+    weights = LossWeights(adv=0, fm=0, edge=0, phys=0, metal=0, beta_weight=0)
+    step = make_train_step(gen, disc, g_tx, d_tx, weights, mesh=mesh8, donate=False)
+    _, m = step(state, _batch(mesh8, 8))
+    assert "g_rec" in m and np.isfinite(float(m["g_rec"]))
+
+
+def test_eval_step(mesh8, setup):
+    gen, disc, state, step = setup
+    eval_step = make_eval_step(gen, mesh=mesh8)
+    batch = _batch(mesh8, 8)
+    fake, metrics = eval_step(state.g_params, batch)
+    assert fake.shape == (8, SIZE, SIZE, 1)
+    assert 0 < float(metrics["psnr"]) < 60
+
+
+def test_loader_with_mesh(mesh8):
+    ds = SyntheticMARDataset(size=32, length=16)
+    loader = Loader(ds, batch_size=8, mesh=mesh8, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["ct"].shape == (8, 32, 32, 1)
+    # batch axis sharded over 8 devices
+    assert len(b["ct"].sharding.device_set) == 8

@@ -1,0 +1,18 @@
+from tmar.data.transforms import normalize01_to_pm1, hu_window, random_crop_pair, random_flip_pair
+from tmar.data.synthetic import SyntheticMARDataset
+from tmar.data.syndeeplesion import SynDeepLesionTrainDataset, SynDeepLesionValDataset, SynDeepLesionTestDataset
+from tmar.data.spineweb import SpineWebDataset
+from tmar.data.loader import Loader
+
+__all__ = [
+    "normalize01_to_pm1",
+    "hu_window",
+    "random_crop_pair",
+    "random_flip_pair",
+    "SyntheticMARDataset",
+    "SynDeepLesionTrainDataset",
+    "SynDeepLesionValDataset",
+    "SynDeepLesionTestDataset",
+    "SpineWebDataset",
+    "Loader",
+]

@@ -1,0 +1,82 @@
+"""Procedural synthetic MAR dataset.
+
+Generates paired (artifact, clean, LI) CT-like slices entirely in memory:
+smooth anatomy phantoms (sums of Gaussian blobs + an ellipse "body"), bright
+metal inserts, and streak artifacts radiating from the metal (the visual
+signature the physics loss targets).  Used by unit tests, the end-to-end
+smoke train, and the benchmark harness — the role the reference fills by
+pointing at local SynDeepLesion copies with hard-coded paths
+(reference train_combined.py:78).
+
+Deterministic per index: sample i is generated from seed ``base_seed + i``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+class SyntheticMARDataset:
+    def __init__(
+        self,
+        size: int = 128,
+        length: int = 256,
+        base_seed: int = 0,
+        metal_prob: float = 1.0,
+    ):
+        self.size = size
+        self.length = length
+        self.base_seed = base_seed
+        self.metal_prob = metal_prob
+
+    def __len__(self) -> int:
+        return self.length
+
+    def _phantom(self, rng: np.random.Generator) -> np.ndarray:
+        s = self.size
+        y, x = np.mgrid[0:s, 0:s] / s - 0.5
+        # body ellipse
+        img = 0.35 * (((x / 0.42) ** 2 + (y / 0.46) ** 2) < 1.0).astype(np.float32)
+        # soft-tissue blobs
+        for _ in range(rng.integers(3, 7)):
+            cx, cy = rng.uniform(-0.3, 0.3, 2)
+            sx, sy = rng.uniform(0.04, 0.18, 2)
+            amp = rng.uniform(0.05, 0.25)
+            img += amp * np.exp(-(((x - cx) / sx) ** 2 + ((y - cy) / sy) ** 2))
+        return np.clip(img, 0, 1).astype(np.float32)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self.base_seed + idx)
+        s = self.size
+        gt01 = self._phantom(rng)
+
+        ma01 = gt01.copy()
+        li01 = gt01.copy()
+        if rng.random() < self.metal_prob:
+            y, x = np.mgrid[0:s, 0:s] / s - 0.5
+            n_metal = rng.integers(1, 3)
+            metal = np.zeros((s, s), np.float32)
+            centers = []
+            for _ in range(n_metal):
+                cx, cy = rng.uniform(-0.25, 0.25, 2)
+                r = rng.uniform(0.015, 0.04)
+                metal += (((x - cx) ** 2 + (y - cy) ** 2) < r * r).astype(np.float32)
+                centers.append((cx, cy))
+            metal = np.clip(metal, 0, 1)
+            # streaks radiating through each metal center
+            streaks = np.zeros((s, s), np.float32)
+            for cx, cy in centers:
+                for _ in range(rng.integers(6, 12)):
+                    th = rng.uniform(0, np.pi)
+                    d = (x - cx) * np.sin(th) - (y - cy) * np.cos(th)
+                    w = rng.uniform(0.002, 0.006)
+                    amp = rng.uniform(0.05, 0.18) * rng.choice([-1.0, 1.0])
+                    streaks += amp * np.exp(-(d / w) ** 2)
+            ma01 = np.clip(gt01 + streaks, 0, 1)
+            ma01 = np.where(metal > 0, 1.0, ma01)          # saturated metal
+            li01 = np.where(metal > 0, gt01, gt01)          # LI proxy: interpolated
+
+        to_pm1 = lambda a: (np.clip(a, 0, 1) * 2 - 1).astype(np.float32)
+        return {"ct": to_pm1(ma01), "gt": to_pm1(gt01), "li": to_pm1(li01)}

@@ -194,6 +194,35 @@ class DCGANGenerator(nn.Module):
         return jnp.tanh(h)
 
 
+class DCGANCritic(nn.Module):
+    """DCGAN strided-conv critic presenting the (logits_list, features_list)
+    multiscale interface used by the GAN train step, for the baseline/v1
+    variants (reference train_baseline_variants.py:225-251).  Emits
+    pre-sigmoid logits so the vanilla BCE losses apply directly."""
+
+    ndf: int = 64
+    dtype: Any = jnp.float32
+    use_sn: bool = False
+
+    @nn.compact
+    def __call__(self, x, update_sn: bool = False, return_features: bool = True):
+        h = x
+        feats = []
+        chans = [self.ndf, self.ndf * 2, self.ndf * 4, self.ndf * 8]
+        for i, f in enumerate(chans):
+            h = nn.Conv(
+                f, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False,
+                dtype=self.dtype, kernel_init=conv_normal_init, name=f"conv_{i}",
+            )(h)
+            h = nn.leaky_relu(h, negative_slope=0.2)
+            feats.append(h)
+        h = nn.Conv(
+            1, (4, 4), strides=(1, 1), padding="VALID", use_bias=False,
+            dtype=self.dtype, kernel_init=conv_normal_init, name="final",
+        )(h)
+        return [h], ([feats] if return_features else None)
+
+
 class DCGANDiscriminator(nn.Module):
     """Strided-conv critic with sigmoid output (BCE adversarial loss),
     as used by the baseline-variant trainer (train_baseline_variants.py:225-251)."""

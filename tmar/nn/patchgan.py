@@ -73,6 +73,11 @@ class SingleScaleDiscriminator(nn.Module):
             if i < self.num_layers - 2:
                 ch_out = min(ch_out * 2, self.base_channels * 8)
 
+        assert h.shape[1] > 0 and h.shape[2] > 0, (
+            f"input too small for {self.num_layers}-layer PatchGAN "
+            f"(got empty {h.shape} feature map); the reference trains at 128² "
+            f"patches for this reason (train_combined.py:89)"
+        )
         final = _conv(1, (1, 1), 1, ((0, 0), (0, 0)), self.use_sn, self.dtype, "final_conv")
         logits = final(h, update_sn=update_sn) if self.use_sn else final(h)
         return logits, (feats if return_features else None)

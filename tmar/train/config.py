@@ -1,0 +1,137 @@
+"""Unified training configuration.
+
+The reference scatters configuration across module-level constants
+(train_combined.py:75-128), argparse in eval scripts, and YAML files that are
+never parsed (SURVEY.md §5.6).  Here the YAML schema of
+configs/train_syndeeplesion.yaml is made real: one dataclass, loadable from
+YAML, overridable from the CLI, covering model, optimizer (TTUR), loss
+weights, metal parameters, radon geometry, checkpointing and logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+from tmar.losses import LossWeights
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    ngrams: Tuple[int, ...] = (2, 2, 2, 2)
+    in_chans: int = 1
+    embed_dim: int = 64
+    depths: Tuple[int, ...] = (6, 4, 4)
+    num_heads: Tuple[int, ...] = (6, 4, 4)
+    dec_dim: int = 64
+    dec_depths: int = 6
+    dec_num_heads: int = 6
+    window_size: int = 8
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+
+
+@dataclasses.dataclass
+class DiscConfig:
+    base_channels: int = 64
+    num_layers: int = 5
+    num_scales: int = 3          # B1 ablation: 1
+    use_sn: bool = True          # B2 ablation: False
+    kind: str = "multiscale"     # "multiscale" | "dcgan" | "conditional"
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    # TTUR: lrD = 2 * lrG (reference train_combined.py:98-100)
+    lr_g: float = 1e-4
+    lr_d: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    grad_clip: Optional[float] = None
+
+
+@dataclasses.dataclass
+class RadonConfig:
+    enabled: bool = True
+    num_angles: int = 180
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "synthetic"   # "syndeeplesion" | "spineweb" | "synthetic"
+    root: str = ""
+    spineweb_artifact: str = ""
+    spineweb_clean: str = ""
+    patch_size: int = 128
+    batch_size: int = 4
+    samples_per_epoch: int = 16000
+    num_workers: int = 2
+    seed: int = 999
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    disc: DiscConfig = dataclasses.field(default_factory=DiscConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    loss: LossWeights = dataclasses.field(default_factory=LossWeights)
+    radon: RadonConfig = dataclasses.field(default_factory=RadonConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+    num_epochs: int = 100
+    val_every_n_epochs: int = 5
+    checkpoint_every_n_epochs: int = 1
+    keep_last_n: int = 3
+    seed: int = 999
+    run_dir: str = "runs"
+    run_name: Optional[str] = None
+    n_devices: Optional[int] = None   # default: all
+    bf16: bool = True
+    log_every: int = 50
+    variant: str = "full"
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _build(cls, data: Dict[str, Any]):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs: Dict[str, Any] = {}
+    for k, v in data.items():
+        if k not in fields:
+            raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
+        f = fields[k]
+        sub_cls = None
+        if f.default_factory is not dataclasses.MISSING:
+            proto = f.default_factory()
+            if dataclasses.is_dataclass(proto):
+                sub_cls = type(proto)
+        if sub_cls is not None and isinstance(v, dict):
+            kwargs[k] = _build(sub_cls, v)
+        elif isinstance(v, list):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None) -> TrainConfig:
+    """Load a TrainConfig from YAML (with `section.key=value` overrides)."""
+    data: Dict[str, Any] = {}
+    if path:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+    cfg = _build(TrainConfig, data)
+    for key, value in (overrides or {}).items():
+        obj = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        leaf = parts[-1]
+        if not hasattr(obj, leaf):
+            raise KeyError(f"unknown override {key!r}")
+        # object.__setattr__ also works for frozen dataclasses (LossWeights)
+        object.__setattr__(obj, leaf, value)
+    return cfg

@@ -1,0 +1,187 @@
+"""jit-compiled GAN train/eval steps over a device mesh.
+
+The reference's hot loop (train_combined.py:388-560) runs eagerly: 3 generator
+forwards, 4 discriminator forwards and 2 optimiser steps per iteration.  Here
+the entire iteration — D-step then G-step, TTUR Adam updates, spectral-norm
+power iterations — is ONE jit-compiled function with donated state.  Data
+parallelism comes from sharding the batch over the mesh's ``data`` axis and
+replicating the state; XLA inserts the gradient ``psum``s automatically.
+
+Spectral-norm semantics match torch's per-forward power iteration in train
+mode (4 D applications per iteration → 4 updates, threaded sequentially
+through the step; see tmar.nn.spectral_norm).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tmar.losses import LossWeights, generator_loss, hinge_d_loss, vanilla_d_loss
+
+
+class GANTrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    g_opt: Any
+    d_params: Any
+    d_sn: Any
+    d_opt: Any
+
+
+def create_train_state(
+    rng: jax.Array,
+    generator,
+    discriminator,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    patch_size: int,
+    in_chans: int = 1,
+) -> Tuple[GANTrainState, Callable, Callable]:
+    """Initialise G/D parameters and optimizer states."""
+    g_rng, d_rng = jax.random.split(rng)
+    x = jnp.zeros((1, patch_size, patch_size, in_chans))
+    g_vars = generator.init(g_rng, x)
+    d_vars = discriminator.init(d_rng, jnp.zeros((1, patch_size, patch_size, 2 * in_chans)))
+    state = GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_vars["params"],
+        g_opt=g_tx.init(g_vars["params"]),
+        d_params=d_vars["params"],
+        d_sn=d_vars.get("sn", {}),
+        d_opt=d_tx.init(d_vars["params"]),
+    )
+    return state
+
+
+def make_train_step(
+    generator,
+    discriminator,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    weights: LossWeights,
+    projector=None,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the fused D+G train step.
+
+    Returns ``step(state, batch) -> (state, metrics)`` where batch is a dict
+    with ``ct`` (corrupted input) and ``gt`` (clean target), both
+    [B, H, W, C] in [-1, 1].
+    """
+    has_sn = getattr(discriminator, "use_sn", True)
+
+    def apply_d(d_params, d_sn, x, want_features):
+        variables = {"params": d_params}
+        if has_sn:
+            variables["sn"] = d_sn
+            (logits, feats), new_vars = discriminator.apply(
+                variables, x, update_sn=True, return_features=want_features,
+                mutable=["sn"],
+            )
+            return logits, feats, new_vars["sn"]
+        logits, feats = discriminator.apply(
+            variables, x, return_features=want_features
+        )
+        return logits, feats, d_sn
+
+    def train_step(state: GANTrainState, batch):
+        ct, real = batch["ct"], batch["gt"]
+
+        # ---------------- D step (G frozen) ---------------------------------
+        fake = jax.lax.stop_gradient(
+            generator.apply({"params": state.g_params}, ct)
+        )
+        real_pair = jnp.concatenate([ct, real], axis=-1)
+        fake_pair = jnp.concatenate([ct, fake], axis=-1)
+
+        def d_loss_fn(d_params, d_sn):
+            real_logits, _, d_sn = apply_d(d_params, d_sn, real_pair, False)
+            fake_logits, _, d_sn = apply_d(d_params, d_sn, fake_pair, False)
+            if weights.gan_mode == "hinge":
+                loss = hinge_d_loss(real_logits, fake_logits)
+            else:
+                loss = vanilla_d_loss(real_logits, fake_logits)
+            return loss, d_sn
+
+        (d_loss, d_sn), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, state.d_sn
+        )
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---------------- G step (new D) ------------------------------------
+        def g_loss_fn(g_params, d_sn):
+            fake = generator.apply({"params": g_params}, ct)
+            fake_pair = jnp.concatenate([ct, fake], axis=-1)
+            fake_logits, fake_feats, d_sn = (
+                apply_d(d_params, d_sn, fake_pair, True)
+                if weights.adv or weights.fm
+                else (None, None, d_sn)
+            )
+            real_feats = None
+            if weights.fm:
+                rl, real_feats, d_sn = apply_d(d_params, d_sn, real_pair, True)
+                real_feats = jax.lax.stop_gradient(real_feats)
+            total, terms = generator_loss(
+                fake, real, ct, fake_logits, fake_feats, real_feats,
+                weights, projector=projector,
+            )
+            return total, (terms, d_sn)
+
+        (g_loss, (g_terms, d_sn)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params, d_sn)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        metrics = {"loss_d": d_loss, "loss_g": g_loss}
+        for k, v in g_terms.items():
+            metrics[f"g_{k}"] = v
+
+        new_state = GANTrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            g_opt=g_opt,
+            d_params=d_params,
+            d_sn=d_sn,
+            d_opt=d_opt,
+        )
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, data_sh),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(generator, mesh=None):
+    """Validation forward: returns restored image + PSNR/MSE against gt
+    (data-range-2 PSNR formula of the reference, train_combined.py:606-608)."""
+
+    def eval_step(g_params, batch):
+        fake = generator.apply({"params": g_params}, batch["ct"])
+        mse = jnp.mean(jnp.square(fake - batch["gt"]), axis=(1, 2, 3))
+        psnr = 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))
+        return fake, {"mse": jnp.mean(mse), "psnr": jnp.mean(psnr)}
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            eval_step, in_shardings=(repl, data_sh), out_shardings=(data_sh, repl)
+        )
+    return jax.jit(eval_step)
