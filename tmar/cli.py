@@ -1,0 +1,189 @@
+"""Command-line entry points: tmar-train / tmar-test / tmar-ablate.
+
+The reference promises console scripts (setup.py:49-54 ``transmargan-train``/
+``transmargan-test``) that point at module-level scripts with interactive
+``input()`` prompts; here they are real argparse CLIs over the config system.
+
+Usage:
+    tmar-train --config tmar/configs/train_syndeeplesion.yaml \
+               --variant full --set data.batch_size=16
+    tmar-test  --config ... --checkpoint runs/run_x/checkpoints --tiled
+    tmar-ablate --config ... --ablations A1_no_physics B2_no_spectral_norm
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any, Dict, List
+
+
+def _parse_sets(pairs: List[str]) -> Dict[str, Any]:
+    import yaml
+
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"--set expects key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = yaml.safe_load(v)
+    return out
+
+
+def train(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tmar-train", description="Train TransMAR on TPU")
+    ap.add_argument("--config", default=None, help="YAML config path")
+    ap.add_argument("--variant", default=None, help="variant/ablation name (baseline, v1..v5, full, A*, B*)")
+    ap.add_argument("--set", nargs="*", default=[], help="dotted config overrides key=value")
+    ap.add_argument("--resume", action="store_true", help="resume from latest checkpoint in run dir")
+    ap.add_argument("--epochs", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from tmar.train import Trainer, load_config, resolve_variant
+
+    cfg = load_config(args.config, _parse_sets(args.set))
+    if args.variant:
+        cfg = resolve_variant(cfg, args.variant)
+        cfg.variant = args.variant
+    trainer = Trainer(cfg)
+    if args.resume:
+        ok = trainer.resume()
+        print(f"[resume] {'restored from epoch ' + str(trainer.start_epoch) if ok else 'no checkpoint found, fresh start'}")
+    trainer.fit(num_epochs=args.epochs)
+    print(json.dumps({"run_dir": trainer.run_dir, "best_psnr": trainer.best_psnr}))
+    return 0
+
+
+def test(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tmar-test", description="Evaluate a checkpoint")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--checkpoint", required=True, help="orbax checkpoint dir or torch .pth file")
+    ap.add_argument("--set", nargs="*", default=[])
+    ap.add_argument("--tiled", action="store_true", help="64/32 overlapping tiled inference")
+    ap.add_argument("--out", default="test_results")
+    ap.add_argument("--max-samples", type=int, default=200)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from tmar.train import load_config
+    from tmar.train.trainer import build_generator
+    from tmar.eval import full_slice_eval, make_inference_fn, psnr as _psnr, ssim as _ssim, tiled_eval
+    from tmar.eval.metrics import mae as _mae, rmse as _rmse
+
+    cfg = load_config(args.config, _parse_sets(args.set))
+    gen = build_generator(cfg)
+    params = _load_generator_params(args.checkpoint, gen, cfg)
+    forward = make_inference_fn(gen, params)
+
+    ds = _build_test_dataset(cfg)
+    os.makedirs(args.out, exist_ok=True)
+    rows = []
+    n = min(len(ds), args.max_samples)
+    for i in range(n):
+        sample = ds[i]
+        ct = sample["ct"][None, ..., None]
+        gt01 = (sample["gt"] + 1) / 2
+        run = tiled_eval if args.tiled else full_slice_eval
+        pred = run(forward, ct)[0, ..., 0]
+        pred01 = np.clip((pred + 1) / 2, 0, 1)
+        rows.append(
+            {
+                "index": i,
+                "psnr": _psnr(pred01, gt01),
+                "ssim": _ssim(pred01, gt01),
+                "mae": _mae(pred01, gt01),
+                "rmse": _rmse(pred01, gt01),
+            }
+        )
+    summary = {
+        k: float(np.mean([r[k] for r in rows])) for k in ("psnr", "ssim", "mae", "rmse")
+    }
+    summary["n"] = n
+    summary["mode"] = "tiled" if args.tiled else "full_slice"
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump({"summary": summary, "per_sample": rows}, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+def ablate(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tmar-ablate", description="Run the ablation matrix")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--ablations", nargs="*", default=None, help="default: all")
+    ap.add_argument("--set", nargs="*", default=[])
+    ap.add_argument("--epochs", type=int, default=10, help="reference runs 10-epoch ablations")
+    args = ap.parse_args(argv)
+
+    from tmar.train import ABLATIONS, Trainer, load_config, resolve_variant
+
+    names = args.ablations or sorted(ABLATIONS)
+    results = {}
+    for name in names:
+        cfg = load_config(args.config, _parse_sets(args.set))
+        cfg = resolve_variant(cfg, name)
+        cfg.variant = name
+        cfg.run_name = f"ablation_{name}"
+        try:
+            trainer = Trainer(cfg)
+            trainer.fit(num_epochs=args.epochs)
+            results[name] = {"status": "ok", "best_psnr": trainer.best_psnr,
+                             "run_dir": trainer.run_dir}
+        except Exception as e:  # record FAILED rows like the reference sweep
+            results[name] = {"status": "FAILED", "error": str(e)}
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+def _load_generator_params(path: str, gen, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    if path.endswith(".pth"):
+        from tmar.checkpoint import import_ngswin_state_dict, load_torch_checkpoint
+
+        return import_ngswin_state_dict(load_torch_checkpoint(path))
+    from tmar.checkpoint.io import CheckpointManager
+    from tmar.train.steps import create_train_state
+    from tmar.train.trainer import build_discriminator
+    import optax
+
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, build_discriminator(cfg),
+        optax.adam(1e-4), optax.adam(1e-4), cfg.data.patch_size, cfg.model.in_chans,
+    )
+    mgr = CheckpointManager(path)
+    restored = mgr.restore(state, best=os.path.isdir(os.path.join(path, "best")))
+    if restored is None:
+        restored = mgr.restore(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint found under {path}")
+    return restored[0].g_params
+
+
+def _build_test_dataset(cfg):
+    from tmar.data import SpineWebDataset, SynDeepLesionTestDataset, SyntheticMARDataset
+
+    d = cfg.data
+    if d.dataset == "syndeeplesion":
+        return SynDeepLesionTestDataset(d.root)
+    if d.dataset == "spineweb":
+        return SpineWebDataset(
+            d.spineweb_artifact, d.spineweb_clean, train=False
+        )
+    return SyntheticMARDataset(size=416, length=32)
+
+
+def main():
+    prog = os.path.basename(sys.argv[0])
+    if "test" in prog:
+        return test()
+    if "ablate" in prog:
+        return ablate()
+    return train()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
