@@ -1,0 +1,213 @@
+"""Paper-figure generation.
+
+Re-designs of reference scripts/figure_generation/ (SURVEY.md §2.10) as
+library functions over matplotlib(Agg):
+
+* ``compute_artifact_score`` / ``select_best_slices`` — artifact-visibility
+  slice ranking (shared_config.py:177-265): score = metal_area ·
+  artifact_intensity · artifact_pixels, top-k cached to npy.
+* ``figure_metal_aware_masks`` — mask construction + radius comparison
+  (figure3_metal_aware_masks.py, figure3_radius_comparison.py).
+* ``figure_physics_consistency`` — sinogram-residual pipeline incl.
+  back-projection of the residual (figure2_physics_consistency_v2.py), using
+  the native Radon/FBP operators.
+* ``figure_multiscale_receptive_fields`` — D receptive-field visualisation
+  (figure4_multiscale_discriminator.py).
+* ``figure_error_heatmaps`` — |pred − gt| heatmaps (figure7) and
+  ``figure_mse_limitation`` (figure1).
+* ``plot_loss_curves`` — training history curves (train_combined.py:347-386).
+* ``intensity_profiles`` — line profiles through the metal centre
+  (generate_intensity_profiles.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from tmar.eval.harness import find_metal_center  # noqa: E402
+
+
+# ------------------------------------------------------------- slice ranking
+def compute_artifact_score(ct01: np.ndarray, gt01: np.ndarray, metal_thr: float = 0.8,
+                           artifact_thr: float = 0.1) -> float:
+    """metal_area · artifact_intensity · artifact_pixels
+    (reference shared_config.py:177-213)."""
+    metal = ct01 > metal_thr
+    diff = np.abs(ct01 - gt01) * ~metal
+    artifact_pixels = (diff > artifact_thr).sum()
+    artifact_intensity = diff[diff > artifact_thr].mean() if artifact_pixels else 0.0
+    return float(metal.sum() * artifact_intensity * artifact_pixels)
+
+
+def select_best_slices(dataset, k: int = 25, cache_path: Optional[str] = None) -> List[int]:
+    """Rank dataset samples by artifact visibility; cache to npy
+    (shared_config.py:215-265)."""
+    if cache_path and os.path.exists(cache_path):
+        return [int(i) for i in np.load(cache_path)]
+    scores = []
+    for i in range(len(dataset)):
+        s = dataset[i]
+        ct01, gt01 = (s["ct"] + 1) / 2, (s["gt"] + 1) / 2
+        scores.append((compute_artifact_score(ct01, gt01), i))
+    top = [i for _, i in sorted(scores, reverse=True)[:k]]
+    if cache_path:
+        np.save(cache_path, np.asarray(top))
+    return top
+
+
+# ------------------------------------------------------------------- figures
+def figure_metal_aware_masks(ct: np.ndarray, out_path: str,
+                             radii: Sequence[int] = (0, 3, 5, 7),
+                             threshold: float = 0.6):
+    """Metal mask M, dilated band B and weight map w per radius; ct in [-1,1]."""
+    import jax.numpy as jnp
+
+    from tmar.losses import compute_weight_map, extract_metal_mask
+
+    ct4 = jnp.asarray(ct[None, ..., None])
+    M = np.asarray(extract_metal_mask(ct4, threshold))[0, ..., 0]
+    fig, axes = plt.subplots(2, len(radii) + 1, figsize=(3 * (len(radii) + 1), 6))
+    axes[0, 0].imshow((ct + 1) / 2, cmap="gray"); axes[0, 0].set_title("input")
+    axes[1, 0].imshow(M, cmap="hot"); axes[1, 0].set_title("metal mask M")
+    for j, r in enumerate(radii):
+        w = np.asarray(compute_weight_map(ct4, radius=r))[0, ..., 0]
+        axes[0, j + 1].imshow(w, cmap="viridis", vmin=1, vmax=3)
+        axes[0, j + 1].set_title(f"w (r={r})")
+        axes[1, j + 1].imshow((w > 1) & (M == 0), cmap="hot")
+        axes[1, j + 1].set_title(f"band (r={r})")
+    for ax in axes.ravel():
+        ax.axis("off")
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def figure_physics_consistency(pred: np.ndarray, gt: np.ndarray, ct: np.ndarray,
+                               out_path: str, num_angles: int = 180,
+                               threshold: float = 0.6):
+    """Sinogram residual outside the metal trace + FBP of the residual
+    (figure2_physics_consistency_v2.py), all in [-1,1] 2-D inputs."""
+    import jax.numpy as jnp
+
+    from tmar.losses import extract_metal_mask
+    from tmar.ops import Radon
+
+    size = pred.shape[0]
+    radon = Radon(size, np.linspace(0, np.pi, num_angles, endpoint=False))
+    P = lambda img: np.asarray(radon.forward(jnp.asarray(img[None])))[0]
+    sino_pred, sino_gt = P(pred), P(gt)
+    M = np.asarray(extract_metal_mask(jnp.asarray(ct[None, ..., None]), threshold))[0, ..., 0]
+    trace = (P(M) > 0).astype(np.float32)
+    residual = (1 - trace) * np.abs(sino_pred - sino_gt)
+    bp = np.asarray(radon.fbp(jnp.asarray(((1 - trace) * (sino_pred - sino_gt))[None])))[0]
+
+    fig, axes = plt.subplots(2, 3, figsize=(13, 8))
+    for ax, img, title, cmap in (
+        (axes[0, 0], (pred + 1) / 2, "prediction", "gray"),
+        (axes[0, 1], sino_pred, "P(pred)", "magma"),
+        (axes[0, 2], trace, "metal trace Mp", "hot"),
+        (axes[1, 0], (gt + 1) / 2, "ground truth", "gray"),
+        (axes[1, 1], residual, "(1-Mp)|P(pred)-P(gt)|", "magma"),
+        (axes[1, 2], bp, "FBP of residual", "coolwarm"),
+    ):
+        im = ax.imshow(img, cmap=cmap, aspect="auto")
+        ax.set_title(title); ax.axis("off")
+        fig.colorbar(im, ax=ax, fraction=0.046)
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def figure_multiscale_receptive_fields(image: np.ndarray, out_path: str,
+                                       num_layers: int = 5):
+    """Receptive-field extents of the 3 D scales overlaid on the input
+    (figure4_multiscale_discriminator.py).  PatchGAN RF for k=4 convs with
+    strides (2,2,2,2,1): r = 1 + Σ (k-1)·Πstrides = 61; doubles per ½× scale."""
+    rf = 1
+    jump = 1
+    for stride in (2, 2, 2, 2, 1)[:num_layers]:
+        rf = rf + (4 - 1) * jump
+        jump *= stride
+    fig, axes = plt.subplots(1, 3, figsize=(14, 5))
+    H, W = image.shape
+    for s, ax in enumerate(axes):
+        eff = rf * (2**s)
+        ax.imshow((image + 1) / 2, cmap="gray")
+        cy, cx = H // 2, W // 2
+        half = min(eff // 2, H // 2 - 1)
+        ax.add_patch(plt.Rectangle((cx - half, cy - half), 2 * half, 2 * half,
+                                   fill=False, color="r", lw=2))
+        ax.set_title(f"D scale 1/{2**s}: RF ≈ {eff}px")
+        ax.axis("off")
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def figure_error_heatmaps(preds: Dict[str, np.ndarray], gt: np.ndarray,
+                          out_path: str, vmax: Optional[float] = None):
+    """|pred − gt| heatmaps per model (figure7_error_heatmaps.py); [0,1] in."""
+    n = len(preds)
+    fig, axes = plt.subplots(1, n + 1, figsize=(4 * (n + 1), 4))
+    axes[0].imshow(gt, cmap="gray"); axes[0].set_title("ground truth"); axes[0].axis("off")
+    for ax, (name, p) in zip(axes[1:], preds.items()):
+        err = np.abs(p - gt)
+        im = ax.imshow(err, cmap="inferno", vmax=vmax or err.max())
+        ax.set_title(f"{name}\nMAE={err.mean():.4f}"); ax.axis("off")
+        fig.colorbar(im, ax=ax, fraction=0.046)
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def figure_mse_limitation(blurry: np.ndarray, sharp: np.ndarray, gt: np.ndarray,
+                          out_path: str):
+    """figure1: two restorations with similar MSE but different realism."""
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4.5))
+    for ax, (img, name) in zip(
+        axes,
+        ((gt, "ground truth"),
+         (blurry, f"blurry (MSE={((blurry-gt)**2).mean():.5f})"),
+         (sharp, f"sharp (MSE={((sharp-gt)**2).mean():.5f})")),
+    ):
+        ax.imshow(img, cmap="gray"); ax.set_title(name); ax.axis("off")
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def plot_loss_curves(history: List[Dict], out_path: str,
+                     keys: Optional[Sequence[str]] = None):
+    """Loss-curve grid from the trainer's history rows
+    (train_combined.py:347-386)."""
+    if not history:
+        return
+    keys = keys or [k for k in history[0] if k.startswith(("loss", "g_"))]
+    n = len(keys)
+    cols = min(3, n)
+    rows_n = -(-n // cols)
+    fig, axes = plt.subplots(rows_n, cols, figsize=(5 * cols, 3.5 * rows_n), squeeze=False)
+    for i, k in enumerate(keys):
+        ax = axes[i // cols][i % cols]
+        ax.plot([h.get(k, np.nan) for h in history])
+        ax.set_title(k); ax.grid(alpha=0.3)
+    for j in range(n, rows_n * cols):
+        axes[j // cols][j % cols].axis("off")
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def intensity_profiles(preds: Dict[str, np.ndarray], gt01: np.ndarray,
+                       ct01: np.ndarray, out_path: str):
+    """Horizontal + vertical line profiles through the metal centre
+    (generate_intensity_profiles.py)."""
+    cy, cx = find_metal_center(ct01)
+    fig, axes = plt.subplots(1, 2, figsize=(14, 4.5))
+    for ax, (axis_name, take) in zip(
+        axes,
+        (("horizontal", lambda a: a[cy, :]), ("vertical", lambda a: a[:, cx])),
+    ):
+        ax.plot(take(gt01), "k-", lw=2, label="ground truth")
+        ax.plot(take(ct01), "r:", lw=1, label="corrupted")
+        for name, p in preds.items():
+            ax.plot(take(p), lw=1, label=name)
+        ax.set_title(f"{axis_name} profile through metal centre ({cy},{cx})")
+        ax.legend(fontsize=7); ax.grid(alpha=0.3)
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
