@@ -28,14 +28,9 @@ from tmar.nn.ngram import NGramWindowPartition
 from tmar.nn.window_attention import WindowAttention
 from tmar.ops.window import (
     reverse_cyclic_shift,
-    shift_attn_mask,
+    shift_mask_components,
     window_unpartition,
 )
-
-
-@lru_cache(maxsize=None)
-def _cached_mask(num_patches: Tuple[int, int], window_size: int, shift: int) -> np.ndarray:
-    return shift_attn_mask(num_patches, window_size, shift)
 
 
 class NSTB(nn.Module):
@@ -97,9 +92,10 @@ class NSTB(nn.Module):
         )(x, deterministic=deterministic)
 
         tokens = windows.reshape(-1, ws * ws, D)
-        mask = None
+        mask_components = None
         if self.shift_size > 0:
-            mask = jnp.asarray(_cached_mask((ph, pw), ws, self.shift_size))
+            m_row, m_col = shift_mask_components(ws, self.shift_size)
+            mask_components = (m_row, m_col, wh, ww)
 
         attn_windows = WindowAttention(
             dim=self.dim,
@@ -111,7 +107,7 @@ class NSTB(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             name="attn",
-        )(tokens, mask=mask, deterministic=deterministic)
+        )(tokens, mask_components=mask_components, deterministic=deterministic)
 
         attn_windows = attn_windows.reshape(-1, ws, ws, D)
         shifted = window_unpartition(attn_windows, (wh, ww))

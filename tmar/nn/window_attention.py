@@ -36,8 +36,15 @@ class WindowAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
-        """x: [B_, N, D] windows; mask: optional [nW, N, N] additive mask."""
+    def __call__(
+        self,
+        x,
+        mask: Optional[jnp.ndarray] = None,
+        mask_components: Optional[tuple] = None,
+        deterministic: bool = True,
+    ):
+        """x: [B_, N, D] windows; mask: optional [nW, N, N] additive mask, or
+        decomposed ``mask_components`` (see tmar.ops.attention)."""
         B_, N, _ = x.shape
         head_dim = self.head_dim or self.dim // self.num_heads
         attn_dim = head_dim * self.num_heads
@@ -70,7 +77,9 @@ class WindowAttention(nn.Module):
         v = split_heads(v, self.num_heads)
 
         bias = gather_rel_pos_bias(table, rel_idx, self.num_heads)
-        out = cosine_window_attention(q, k, v, logit_scale, bias, mask=mask)
+        out = cosine_window_attention(
+            q, k, v, logit_scale, bias, mask=mask, mask_components=mask_components
+        )
         if self.attn_drop > 0:
             out = nn.Dropout(self.attn_drop)(out, deterministic=deterministic)
         out = merge_heads(out)

@@ -57,6 +57,7 @@ def cosine_window_attention(
     logit_scale: jnp.ndarray,
     rel_pos_bias: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    mask_components: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Scaled-cosine attention over windows.
 
@@ -67,6 +68,10 @@ def cosine_window_attention(
         rel_pos_bias: [nh, N, N] additive bias (already gathered from table).
         mask: optional [nW, N, N] additive 0/-100 mask; B_ must be a multiple
             of nW, window j of image i uses mask[j].
+        mask_components: optional (m_edge_row [N,N], m_edge_col [N,N], wh, ww)
+            decomposed SW-MSA mask (tmar.ops.window.shift_mask_components) —
+            memory-free alternative to ``mask`` (adds -200 where both differ,
+            identical post-softmax).
 
     Returns:
         [B_, nh, N, hd] attention output (same dtype as v).
@@ -79,7 +84,16 @@ def cosine_window_attention(
     scale = jnp.exp(jnp.clip(logit_scale.astype(jnp.float32), max=LOGIT_SCALE_MAX))
     attn = attn * scale[None]
     attn = attn + rel_pos_bias.astype(jnp.float32)[None]
-    if mask is not None:
+    if mask_components is not None:
+        m_row, m_col, wh, ww = mask_components
+        B_, nh, N, _ = attn.shape
+        attn = attn.reshape(B_ // (wh * ww), wh, ww, nh, N, N)
+        row_gate = (jnp.arange(wh) == wh - 1).astype(jnp.float32)
+        col_gate = (jnp.arange(ww) == ww - 1).astype(jnp.float32)
+        attn = attn + row_gate[:, None, None, None, None] * jnp.asarray(m_row)
+        attn = attn + col_gate[:, None, None, None] * jnp.asarray(m_col)
+        attn = attn.reshape(B_, nh, N, N)
+    elif mask is not None:
         B_, nh, N, _ = attn.shape
         nw = mask.shape[0]
         attn = attn.reshape(B_ // nw, nw, nh, N, N) + mask.astype(jnp.float32)[None, :, None]

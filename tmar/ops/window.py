@@ -66,6 +66,29 @@ def pad_to_multiple(x: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, Tuple[i
     return x, (H, W)
 
 
+def shift_mask_components(window_size: int, shift: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Decomposed SW-MSA mask: (m_edge_row, m_edge_col), each [N, N].
+
+    The full per-window mask factorises: window (r, c) of a (wh, ww) grid has
+    mask ≈ [r == wh-1]·m_edge_row + [c == ww-1]·m_edge_col (the only
+    difference from the reference's single -100 is -200 where both regions
+    differ — identical after softmax).  Region label = 3·row_band + col_band
+    (see reference transformer_blocks.py:63-81); only the last window
+    row/column straddles a band boundary, so interior windows are all-zero.
+    This avoids materialising the [wh·ww, N, N] mask (64 MB at 512² eval).
+    """
+    ws = window_size
+    n = ws * ws
+    # token i belongs to row band 1 if its in-window row < ws - shift else 2
+    row_band = (np.arange(ws) >= ws - shift).astype(np.int32)
+    col_band = row_band
+    tok_row = np.repeat(row_band, ws)          # [N] by in-window row
+    tok_col = np.tile(col_band, ws)            # [N] by in-window col
+    m_row = np.where(tok_row[:, None] != tok_row[None, :], -100.0, 0.0)
+    m_col = np.where(tok_col[:, None] != tok_col[None, :], -100.0, 0.0)
+    return m_row.astype(np.float32), m_col.astype(np.float32)
+
+
 def shift_attn_mask(num_patches: Tuple[int, int], window_size: int, shift: int) -> np.ndarray:
     """Build the SW-MSA additive mask: [wh*ww, ws*ws, ws*ws] float32 (0 / -100).
 
