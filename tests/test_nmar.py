@@ -21,15 +21,15 @@ def test_nmar_prior_flattens_tissue():
     rng = np.random.default_rng(1)
     # image of air (0), water-ish (~49), bone (~120)
     img = np.zeros((32, 32), np.float32)
-    img[8:24, 8:24] = miu_water + rng.normal(0, 1, (16, 16))
-    img[14:18, 14:18] = 120.0
+    img[6:26, 6:26] = miu_water + rng.normal(0, 1, (20, 20))
+    img[11:21, 11:21] = 120.0
     mask = np.ones_like(img)
     prior = nmar_prior(img[None], mask[None])[0]
     # water region flattened to exactly miu_water
-    assert np.allclose(prior[10, 10], miu_water)
+    assert np.allclose(prior[8, 8], miu_water)
     # air stays air
     assert prior[0, 0] == 0.0
-    # bone region stays above water
+    # bone-interior pixels (smoothing-neutral) stay above water
     assert prior[15:17, 15:17].mean() > miu_water
 
 
