@@ -28,6 +28,23 @@ from tmar.losses import extract_metal_mask
 from tmar.ops import dilate_mask
 
 
+def crop_border(img: np.ndarray, border: int) -> np.ndarray:
+    """Crop a pixel border before metric computation (the reference's
+    SwinIR-style option, utils/acc_utils.py:14-54)."""
+    if border == 0:
+        return img
+    return img[border:-border, border:-border]
+
+
+def to_y_channel(img: np.ndarray) -> np.ndarray:
+    """RGB [H,W,3] in [0,1] -> BT.601 luma in [0,1] (acc_utils.py:139-265's
+    bgr2ycbcr capability; CT slices are already single-channel)."""
+    if img.ndim == 2 or img.shape[-1] == 1:
+        return img.reshape(img.shape[:2])
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    return (65.481 * r + 128.553 * g + 24.966 * b + 16.0) / 255.0
+
+
 def mae(pred: np.ndarray, target: np.ndarray) -> float:
     return float(np.abs(pred - target).mean())
 
