@@ -137,6 +137,40 @@ def ablate(argv=None) -> int:
     return 0
 
 
+def compare(argv=None) -> int:
+    """Multi-model benchmark comparison (reference
+    evaluation/benchmark_comparison_syndeeplesion.py as a CLI)."""
+    ap = argparse.ArgumentParser(prog="tmar-compare")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--checkpoints", nargs="+", required=True,
+                    help="name=path pairs (orbax dir or .pth); 'identity' allowed")
+    ap.add_argument("--set", nargs="*", default=[])
+    ap.add_argument("--out", default="comparison_results")
+    ap.add_argument("--num-samples", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    from tmar.eval.harness import ModelEntry, run_comparison
+    from tmar.eval import make_inference_fn
+    from tmar.train import load_config
+    from tmar.train.trainer import build_generator
+
+    cfg = load_config(args.config, _parse_sets(args.set))
+    entries = []
+    for spec in args.checkpoints:
+        name, _, path = spec.partition("=")
+        if path == "" and name == "identity":
+            entries.append(ModelEntry("identity", lambda x: x))
+            continue
+        gen = build_generator(cfg)
+        params = _load_generator_params(path, gen, cfg)
+        entries.append(ModelEntry(name, make_inference_fn(gen, params)))
+    ds = _build_test_dataset(cfg)
+    results = run_comparison(entries, ds, args.out, num_samples=args.num_samples, seed=args.seed)
+    print(json.dumps({k: v.get("status") for k, v in results.items()}))
+    return 0
+
+
 def _load_generator_params(path: str, gen, cfg):
     import jax
     import jax.numpy as jnp

@@ -2,6 +2,7 @@ from tmar.data.transforms import normalize01_to_pm1, hu_window, random_crop_pair
 from tmar.data.synthetic import SyntheticMARDataset
 from tmar.data.syndeeplesion import SynDeepLesionTrainDataset, SynDeepLesionValDataset, SynDeepLesionTestDataset
 from tmar.data.spineweb import SpineWebDataset
+from tmar.data.spineweb_selfsup import SpineWebSelfSupervisedDataset
 from tmar.data.loader import Loader
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "SynDeepLesionValDataset",
     "SynDeepLesionTestDataset",
     "SpineWebDataset",
+    "SpineWebSelfSupervisedDataset",
     "Loader",
 ]
