@@ -1,0 +1,33 @@
+"""NGswin with fused Pallas attention == NGswin with XLA attention."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tmar.nn import NGswin
+
+TINY = dict(
+    ngrams=(2, 2, 2, 2), embed_dim=32, depths=(2, 2, 2), num_heads=(2, 2, 2),
+    dec_dim=32, dec_depths=2, dec_num_heads=2, window_size=8,
+)
+
+
+def test_pallas_model_matches_xla(rng):
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 1)).astype(np.float32))
+    m_xla = NGswin(**TINY)
+    m_pl = NGswin(**TINY, use_pallas_attention=True, pallas_interpret=True)
+    params = m_xla.init(jax.random.PRNGKey(0), x)["params"]
+
+    # identical parameter trees (fused path reuses the same params)
+    p2 = m_pl.init(jax.random.PRNGKey(0), x)["params"]
+    t1 = jax.tree_util.tree_structure(params)
+    t2 = jax.tree_util.tree_structure(p2)
+    assert t1 == t2
+
+    out_xla = m_xla.apply({"params": params}, x)
+    out_pl = m_pl.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_pl), np.asarray(out_xla), atol=5e-5, rtol=1e-4
+    )

@@ -46,6 +46,8 @@ class NSTB(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     dtype: Any = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, num_patches: Tuple[int, int], deterministic: bool = True):
@@ -106,6 +108,8 @@ class NSTB(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
             name="attn",
         )(tokens, mask_components=mask_components, deterministic=deterministic)
 

@@ -141,6 +141,8 @@ class EncoderLayer(nn.Module):
     downsample_dim: Optional[int] = None
     num_cas: int = 1
     dtype: Any = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, num_patches: Tuple[int, int], deterministic: bool = True):
@@ -168,6 +170,8 @@ class EncoderLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=dpr[i],
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret,
                 name=f"blocks_{i}",
             )
             x_prev_in, x = blk(x + x_prev_in, num_patches, deterministic=deterministic)
@@ -243,6 +247,8 @@ class DecoderLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path: Sequence[float] = ()
     dtype: Any = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, num_patches: Tuple[int, int], deterministic: bool = True):
@@ -262,6 +268,8 @@ class DecoderLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=dpr[i],
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret,
                 name=f"blocks_{i}",
             )
             x_prev_in, x = blk(x + x_prev_in, num_patches, deterministic=deterministic)

@@ -49,6 +49,8 @@ class NGswin(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
+    use_pallas_attention: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -88,6 +90,8 @@ class NGswin(nn.Module):
                 downsample_dim=self.embed_dim if (i + 1) != n_enc else None,
                 num_cas=i + 1,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas_attention,
+                pallas_interpret=self.pallas_interpret,
                 name=f"encoder_layer{i+1}",
             )(cas, num_patches, deterministic=deterministic)
             pre_merge.append(e_)
@@ -121,6 +125,8 @@ class NGswin(nn.Module):
             attn_drop=self.attn_drop_rate,
             drop_path=dpr[sum(self.depths) :],
             dtype=self.dtype,
+            use_pallas=self.use_pallas_attention,
+            pallas_interpret=self.pallas_interpret,
             name="decoder_layer1",
         )(bottleneck_out + e1_, num_patches_scdp, deterministic=deterministic)
         dec = layer_norm(self.dtype, name="norm")(dec)

@@ -3,8 +3,11 @@
 Parameter layout mirrors the reference (reference
 models/generator/components/attention.py:38-61): fused qkv Dense, per-head
 log-domain ``logit_scale`` initialised to ln(10), relative-position-bias table
-trunc-normal(0.02), output projection Dense.  The attention math itself lives
-in ``tmar.ops.attention`` (XLA path) with a Pallas fused kernel alternative.
+trunc-normal(0.02), output projection Dense.  The attention math lives in
+``tmar.ops.attention`` (XLA path); setting ``use_pallas=True`` routes through
+the fused VMEM-resident Pallas kernel (``tmar.ops.pallas_attention``) which
+never materialises the [B_, nh, N, N] score tensor in HBM — the dominant
+memory traffic of the XLA path.  Both paths share the same parameters.
 """
 
 from __future__ import annotations
@@ -25,6 +28,26 @@ from tmar.ops.attention import (
 )
 
 
+class _DenseParams(nn.Module):
+    """Declares kernel/bias with nn.Dense's exact param layout and names,
+    but hands the raw arrays back so fused kernels can consume them."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", trunc_normal_init, (in_features, self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -34,6 +57,8 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Any = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(
@@ -45,7 +70,7 @@ class WindowAttention(nn.Module):
     ):
         """x: [B_, N, D] windows; mask: optional [nW, N, N] additive mask, or
         decomposed ``mask_components`` (see tmar.ops.attention)."""
-        B_, N, _ = x.shape
+        B_, N, in_dim = x.shape
         head_dim = self.head_dim or self.dim // self.num_heads
         attn_dim = head_dim * self.num_heads
 
@@ -62,34 +87,49 @@ class WindowAttention(nn.Module):
             jnp.float32,
         )
         rel_idx = relative_position_index(win_h, win_w)
+        bias = gather_rel_pos_bias(table, rel_idx, self.num_heads)
 
-        qkv = nn.Dense(
-            attn_dim * 3,
-            use_bias=self.qkv_bias,
-            dtype=self.dtype,
-            kernel_init=trunc_normal_init,
-            bias_init=nn.initializers.zeros,
-            name="qkv",
-        )(x)
+        wqkv, bqkv = _DenseParams(attn_dim * 3, use_bias=self.qkv_bias, name="qkv")(in_dim)
+        wproj, bproj = _DenseParams(self.dim, name="proj")(attn_dim)
+
+        if self.use_pallas:
+            assert self.attn_drop == 0.0 and self.proj_drop == 0.0, (
+                "fused pallas attention does not implement dropout"
+            )
+            assert mask is None, "fused kernel takes mask_components, not a full mask"
+            from tmar.ops.pallas_attention import fused_window_attention
+
+            return fused_window_attention(
+                x.astype(self.dtype),
+                wqkv.astype(self.dtype),
+                None if bqkv is None else bqkv.astype(self.dtype),
+                logit_scale,
+                bias,
+                wproj.astype(self.dtype),
+                jnp.zeros((self.dim,), self.dtype) if bproj is None else bproj.astype(self.dtype),
+                self.num_heads,
+                mask_components=mask_components,
+                interpret=self.pallas_interpret,
+            )
+
+        # ---------------- XLA path (identical math) -------------------------
+        qkv = x.astype(self.dtype) @ wqkv.astype(self.dtype)
+        if bqkv is not None:
+            qkv = qkv + bqkv.astype(self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = split_heads(q, self.num_heads)
         k = split_heads(k, self.num_heads)
         v = split_heads(v, self.num_heads)
 
-        bias = gather_rel_pos_bias(table, rel_idx, self.num_heads)
         out = cosine_window_attention(
             q, k, v, logit_scale, bias, mask=mask, mask_components=mask_components
         )
         if self.attn_drop > 0:
             out = nn.Dropout(self.attn_drop)(out, deterministic=deterministic)
         out = merge_heads(out)
-        out = nn.Dense(
-            self.dim,
-            dtype=self.dtype,
-            kernel_init=trunc_normal_init,
-            bias_init=nn.initializers.zeros,
-            name="proj",
-        )(out)
+        out = out @ wproj.astype(self.dtype)
+        if bproj is not None:
+            out = out + bproj.astype(self.dtype)
         if self.proj_drop > 0:
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
