@@ -20,6 +20,7 @@ from tmar.losses import LossWeights
 
 @dataclasses.dataclass
 class ModelConfig:
+    arch: str = "ngswin"  # ngswin | redcnn | transformer | bafresnet
     ngrams: Tuple[int, ...] = (2, 2, 2, 2)
     in_chans: int = 1
     embed_dim: int = 64

@@ -30,10 +30,27 @@ from tmar.train.steps import create_train_state, make_eval_step, make_train_step
 from tmar.checkpoint.io import CheckpointManager
 
 
-def build_generator(cfg: TrainConfig) -> NGswin:
+def build_generator(cfg: TrainConfig):
     import jax.numpy as jnp
 
     m = cfg.model
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    arch = getattr(m, "arch", "ngswin")
+    if arch != "ngswin":
+        # benchmark-architecture fine-tuning (reference
+        # scripts/finetune_all_benchmarks.py trains third-party image-domain
+        # models with the same rec/edge recipe; here any in-tree baseline
+        # slots into the identical trainer).
+        from tmar.nn import BAFResNet, DenoisingTransformer, RedCNN
+
+        archs = {
+            "redcnn": lambda: RedCNN(dtype=dtype),
+            "transformer": lambda: DenoisingTransformer(dtype=dtype),
+            "bafresnet": lambda: BAFResNet(dtype=dtype),
+        }
+        if arch not in archs:
+            raise ValueError(f"unknown generator arch {arch!r}")
+        return archs[arch]()
     return NGswin(
         ngrams=tuple(m.ngrams),
         in_chans=m.in_chans,
