@@ -81,3 +81,25 @@ def test_step_timer():
     f = lambda x: x * 2
     mean = t.time_fn(f, jnp.ones((8, 8)), iters=3, warmup=1)
     assert mean > 0 and t.summary()["n"] == 3
+
+
+def test_additional_plot_families(tmp_path):
+    ds = SyntheticMARDataset(size=64, length=2)
+    s = ds[0]
+    gt01, ct01 = (s["gt"] + 1) / 2, (s["ct"] + 1) / 2
+    pred01 = np.clip(gt01 + np.random.default_rng(1).normal(0, 0.03, gt01.shape), 0, 1)
+
+    F.plot_histograms({"m": pred01}, gt01, str(tmp_path / "hist.png"))
+    F.plot_regional_comparison(
+        {"m": {"metal_PSNR": 30, "band_PSNR": 32, "non_metal_PSNR": 35}},
+        str(tmp_path / "regional.png"),
+    )
+    F.plot_intensity_segmentation(pred01, gt01, str(tmp_path / "seg.png"))
+    F.plot_artifact_waves(pred01, gt01, ct01, str(tmp_path / "waves.png"))
+    F.plot_metric_curves(
+        [{"epoch": 0, "val_psnr": 30.0}, {"epoch": 1, "val_psnr": 31.0}],
+        str(tmp_path / "vcurves.png"),
+    )
+    F.contrast_sweep(gt01, str(tmp_path / "contrast.png"))
+    for f in ("hist", "regional", "seg", "waves", "vcurves", "contrast"):
+        assert (tmp_path / f"{f}.png").stat().st_size > 1000

@@ -194,6 +194,110 @@ def plot_loss_curves(history: List[Dict], out_path: str,
     fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
 
 
+def plot_histograms(preds: Dict[str, np.ndarray], gt01: np.ndarray, out_path: str,
+                    bins: int = 100):
+    """Intensity histograms per model vs ground truth
+    (run_ablation_studies.py:681 family)."""
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    ax.hist(gt01.ravel(), bins=bins, histtype="step", lw=2, label="ground truth",
+            color="k", density=True)
+    for name, p in preds.items():
+        ax.hist(p.ravel(), bins=bins, histtype="step", lw=1, label=name, density=True)
+    ax.set_yscale("log"); ax.set_xlabel("intensity"); ax.legend(fontsize=8)
+    ax.grid(alpha=0.3)
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def plot_regional_comparison(regional: Dict[str, Dict[str, float]], out_path: str):
+    """Bar chart of metal/band/non-metal PSNR per model
+    (run_ablation_studies.py:716 family).  regional: {model: {region_PSNR}}."""
+    regions = ["metal_PSNR", "band_PSNR", "non_metal_PSNR"]
+    models = list(regional)
+    width = 0.8 / max(len(models), 1)
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    xs = np.arange(len(regions))
+    for i, mname in enumerate(models):
+        vals = [regional[mname].get(r, 0.0) for r in regions]
+        ax.bar(xs + i * width, vals, width, label=mname)
+    ax.set_xticks(xs + width * (len(models) - 1) / 2)
+    ax.set_xticklabels([r.replace("_PSNR", "") for r in regions])
+    ax.set_ylabel("PSNR (dB)"); ax.legend(fontsize=8); ax.grid(alpha=0.3, axis="y")
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def plot_intensity_segmentation(pred01: np.ndarray, gt01: np.ndarray, out_path: str):
+    """Tissue-segmented error view (run_ablation_studies.py:999 family):
+    air/soft/bone/metal segments of the gt and the per-segment MAE."""
+    from tmar.eval.metrics import TISSUE_RANGES
+
+    seg = np.zeros_like(gt01)
+    labels = []
+    for i, (tissue, (lo, hi)) in enumerate(TISSUE_RANGES.items(), start=1):
+        m = (gt01 >= lo) & (gt01 < hi)
+        seg[m] = i
+        err = np.abs(pred01 - gt01)[m]
+        labels.append(f"{tissue}: MAE {err.mean():.4f}" if m.any() else f"{tissue}: —")
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4.2))
+    axes[0].imshow(gt01, cmap="gray"); axes[0].set_title("gt")
+    axes[1].imshow(seg, cmap="tab10", vmin=0, vmax=5); axes[1].set_title("tissue segments")
+    axes[2].imshow(np.abs(pred01 - gt01), cmap="inferno"); axes[2].set_title("|err|")
+    for ax in axes: ax.axis("off")
+    fig.suptitle(" | ".join(labels), fontsize=8)
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def plot_artifact_waves(pred01: np.ndarray, gt01: np.ndarray, ct01: np.ndarray,
+                        out_path: str, n_rings: int = 24):
+    """Residual artifact energy vs distance from the metal centre
+    (run_ablation_studies.py:1077 'artifact wave' family)."""
+    cy, cx = find_metal_center(ct01)
+    H, W = gt01.shape
+    yy, xx = np.mgrid[0:H, 0:W]
+    r = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+    rmax = r.max()
+    edges = np.linspace(0, rmax, n_rings + 1)
+    err_pred = np.abs(pred01 - gt01)
+    err_in = np.abs(ct01 - gt01)
+    prof_pred, prof_in = [], []
+    for i in range(n_rings):
+        m = (r >= edges[i]) & (r < edges[i + 1])
+        prof_pred.append(err_pred[m].mean() if m.any() else 0)
+        prof_in.append(err_in[m].mean() if m.any() else 0)
+    centers = (edges[:-1] + edges[1:]) / 2
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(centers, prof_in, "r--", label="input artifact energy")
+    ax.plot(centers, prof_pred, "b-", label="residual after restoration")
+    ax.set_xlabel("distance from metal centre (px)"); ax.set_ylabel("MAE")
+    ax.legend(); ax.grid(alpha=0.3)
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def plot_metric_curves(val_history: List[Dict], out_path: str):
+    """Validation metric curves over epochs (run_ablation_studies.py:582)."""
+    if not val_history:
+        return
+    keys = [k for k in val_history[0] if k.startswith("val_")]
+    if not keys:
+        keys = [k for k in val_history[0] if k not in ("epoch",)][:4]
+    fig, axes = plt.subplots(1, max(len(keys), 1), figsize=(4.5 * max(len(keys), 1), 3.5),
+                             squeeze=False)
+    epochs = [h.get("epoch", i) for i, h in enumerate(val_history)]
+    for ax, k in zip(axes[0], keys):
+        ax.plot(epochs, [h.get(k, np.nan) for h in val_history], "o-")
+        ax.set_title(k); ax.set_xlabel("epoch"); ax.grid(alpha=0.3)
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def contrast_sweep(img01: np.ndarray, out_path: str,
+                   vmaxes=(0.4, 0.6, 0.8, 1.0)):
+    """Display-window (vmax) sweep (reference evaluation/test_contrast.py)."""
+    fig, axes = plt.subplots(1, len(vmaxes), figsize=(3.5 * len(vmaxes), 3.8))
+    for ax, vm in zip(np.atleast_1d(axes), vmaxes):
+        ax.imshow(img01, cmap="gray", vmin=0, vmax=vm)
+        ax.set_title(f"vmax={vm}"); ax.axis("off")
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
 def intensity_profiles(preds: Dict[str, np.ndarray], gt01: np.ndarray,
                        ct01: np.ndarray, out_path: str):
     """Horizontal + vertical line profiles through the metal centre
