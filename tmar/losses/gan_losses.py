@@ -120,10 +120,14 @@ def metal_consistency_loss(fake, real, M):
 
 def physics_loss_syn(fake, real, M, projector):
     """Sinogram consistency outside the metal trace (gan_losses.py:222-253):
-    mean[(1 - Mp)·|P(fake) - P(real)|], Mp = (P(M) > 0)."""
-    proj_fake = projector.forward(fake)
-    proj_real = projector.forward(real)
-    m_proj = projector.forward(M)
+    mean[(1 - Mp)·|P(fake) - P(real)|], Mp = (P(M) > 0).
+
+    The three projections run as ONE batched Radon call (the operator's
+    pass-A einsum triples its M dimension instead of launching 3x)."""
+    B = fake.shape[0]
+    stacked = jnp.concatenate([fake, real, M], axis=0)
+    proj = projector.forward(stacked)
+    proj_fake, proj_real, m_proj = proj[:B], proj[B : 2 * B], proj[2 * B :]
     mp = (m_proj > 0).astype(jnp.float32)
     return jnp.mean((1.0 - mp) * jnp.abs(proj_fake - proj_real))
 
