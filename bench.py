@@ -73,15 +73,25 @@ def bench_inference():
 
     from tmar.nn import NGswin
 
-    model = NGswin(dtype=jnp.bfloat16)
+    # fused Pallas window attention on the inference path (tmar.ops.
+    # pallas_attention); training uses the XLA path (the fused kernel has no
+    # custom VJP yet)
+    model = NGswin(dtype=jnp.bfloat16, use_pallas_attention=True)
     x = jnp.asarray(
         np.random.default_rng(0).uniform(-1, 1, (BATCH, SLICE, SLICE, 1)).astype(np.float32)
     )
     small = jnp.zeros((1, 128, 128, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), small)["params"]
 
-    fwd = jax.jit(lambda xx: model.apply({"params": params}, xx))
-    dt = _chained_time(fwd, x, iters=30)
+    fwd = jax.jit(lambda p, xx: model.apply({"params": p}, xx))
+    y = fwd(params, x)
+    np.asarray(jax.tree_util.tree_leaves(y)[0]).ravel()[:1]
+    t0 = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        y = fwd(params, y)
+    np.asarray(jax.tree_util.tree_leaves(y)[0]).ravel()[:1]
+    dt = (time.perf_counter() - t0) / iters
     return BATCH / dt
 
 
