@@ -91,7 +91,7 @@ class SynDeepLesionTrainDataset(_SynDeepLesionBase):
                 # skip-and-advance fault tolerance (reference datasets.py:148)
                 idx += 1
                 attempts += 1
-                if attempts > len(self.files):
+                if attempts > 4 * len(self.files):
                     raise
 
 
@@ -114,7 +114,7 @@ class SynDeepLesionValDataset(_SynDeepLesionBase):
             except (OSError, FileNotFoundError, KeyError):
                 idx += 1
                 attempts += 1
-                if attempts > len(self.files):
+                if attempts > 4 * len(self.files):
                     raise
 
 
