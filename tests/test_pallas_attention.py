@@ -77,3 +77,39 @@ def test_fused_ragged_window_count(rng):
         windows_per_step=2, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_gradients_match_xla(rng):
+    """Custom VJP (pallas fwd, XLA recompute bwd) == pure XLA gradients."""
+    ws, nh, hd, D = 8, 2, 8, 16
+    N = ws * ws
+    B_ = 4
+    A = nh * hd
+    x = jnp.asarray(rng.standard_normal((B_, N, D)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((D, 3 * A)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal((3 * A,)).astype(np.float32) * 0.1)
+    ls = jnp.zeros((nh, 1, 1))
+    table = jnp.asarray(rng.standard_normal(((2 * ws - 1) ** 2, nh)).astype(np.float32) * 0.02)
+    bias = gather_rel_pos_bias(table, relative_position_index(ws, ws), nh)
+    wproj = jnp.asarray(rng.standard_normal((A, D)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.1)
+
+    from tmar.ops.attention import window_attention_math
+
+    def loss_ref(x, wqkv, wproj):
+        return jnp.sum(
+            window_attention_math(x, wqkv, bqkv, ls, bias, wproj, bproj, nh) ** 2
+        )
+
+    def loss_fused(x, wqkv, wproj):
+        return jnp.sum(
+            fused_window_attention(
+                x, wqkv, bqkv, ls, bias, wproj, bproj, nh,
+                windows_per_step=2, interpret=True,
+            ) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, wqkv, wproj)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, wqkv, wproj)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)

@@ -106,6 +106,30 @@ def cosine_window_attention(
     return out.astype(compute_dtype)
 
 
+def window_attention_math(
+    x, wqkv, bqkv, logit_scale, bias, wproj, bproj, num_heads, mask_components=None
+):
+    """Complete window-attention block as a pure function (qkv proj ->
+    cosine attention -> output proj).  Shared by the flax module's XLA path
+    and the Pallas kernel's recompute-backward."""
+    qkv = x @ wqkv
+    if bqkv is not None:
+        qkv = qkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = cosine_window_attention(
+        split_heads(q, num_heads),
+        split_heads(k, num_heads),
+        split_heads(v, num_heads),
+        logit_scale,
+        bias,
+        mask_components=mask_components,
+    )
+    out = merge_heads(out) @ wproj
+    if bproj is not None:
+        out = out + bproj
+    return out
+
+
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """[B_, N, nh*hd] -> [B_, nh, N, hd]."""
     B_, N, C = x.shape

@@ -59,7 +59,61 @@ def fused_window_attention(
     windows_per_step: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused window attention.
+    """Differentiable fused window attention: Pallas forward, XLA recompute
+    backward (jax.vjp of the equivalent pure function) — usable under
+    jax.grad so training can run the fused forward too."""
+    has_bqkv = bqkv is not None
+    has_bproj = bproj is not None
+
+    @jax.custom_vjp
+    def op(x, wqkv, bqkv, logit_scale, bias, wproj, bproj):
+        return _fused_forward(
+            x, wqkv, bqkv if has_bqkv else None, logit_scale, bias, wproj,
+            bproj if has_bproj else None, num_heads,
+            mask_components=mask_components,
+            windows_per_step=windows_per_step,
+            interpret=interpret,
+        )
+
+    def op_fwd(x, wqkv, bqkv, logit_scale, bias, wproj, bproj):
+        out = op(x, wqkv, bqkv, logit_scale, bias, wproj, bproj)
+        return out, (x, wqkv, bqkv, logit_scale, bias, wproj, bproj)
+
+    def op_bwd(res, g):
+        from tmar.ops.attention import window_attention_math
+
+        x, wqkv, bqkv, logit_scale, bias, wproj, bproj = res
+        _, vjp = jax.vjp(
+            lambda *a: window_attention_math(
+                *a, num_heads=num_heads, mask_components=mask_components
+            ),
+            x, wqkv, bqkv, logit_scale, bias, wproj, bproj,
+        )
+        return vjp(g.astype(x.dtype))
+
+    op.defvjp(op_fwd, op_bwd)
+    zeros_b3 = jnp.zeros((wqkv.shape[1],), x.dtype)
+    zeros_bp = jnp.zeros((wproj.shape[1],), x.dtype)
+    return op(
+        x, wqkv, bqkv if has_bqkv else zeros_b3, logit_scale, bias, wproj,
+        bproj if has_bproj else zeros_bp,
+    )
+
+
+def _fused_forward(
+    x: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: Optional[jnp.ndarray],
+    logit_scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    num_heads: int,
+    mask_components: Optional[Tuple] = None,
+    windows_per_step: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused window attention (forward only).
 
     Args:
         x: [B_, N, D] window tokens (B_ = batch·wh·ww).
