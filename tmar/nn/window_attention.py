@@ -113,6 +113,21 @@ class WindowAttention(nn.Module):
             )
 
         # ---------------- XLA path (identical math) -------------------------
+        if mask is None and self.attn_drop == 0 and self.proj_drop == 0:
+            from tmar.ops.attention import window_attention_math
+
+            return window_attention_math(
+                x.astype(self.dtype),
+                wqkv.astype(self.dtype),
+                None if bqkv is None else bqkv.astype(self.dtype),
+                logit_scale,
+                bias,
+                wproj.astype(self.dtype),
+                None if bproj is None else bproj.astype(self.dtype),
+                self.num_heads,
+                mask_components=mask_components,
+            )
+
         qkv = x.astype(self.dtype) @ wqkv.astype(self.dtype)
         if bqkv is not None:
             qkv = qkv + bqkv.astype(self.dtype)
