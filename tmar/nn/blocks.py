@@ -90,6 +90,8 @@ class NSTB(nn.Module):
             ngram_num_heads=self.num_heads,
             shift_size=self.shift_size,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
             name="ngram_window_partition",
         )(x, deterministic=deterministic)
 

@@ -31,6 +31,8 @@ class NGramContext(nn.Module):
     ngram_num_heads: int
     padding_mode: str = "seq_refl_win_pad"
     dtype: Any = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -53,6 +55,8 @@ class NGramContext(nn.Module):
             num_heads=self.ngram_num_heads,
             window_size=(self.ngram, self.ngram),
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
             name="ngram_attn",
         )
 
@@ -93,6 +97,8 @@ class NGramWindowPartition(nn.Module):
     ngram_num_heads: int
     shift_size: int = 0
     dtype: Any = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, Tuple[int, int]]:
@@ -108,6 +114,8 @@ class NGramWindowPartition(nn.Module):
             ngram=self.ngram,
             ngram_num_heads=self.ngram_num_heads,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
             name="ngram_context",
         )(x, deterministic=deterministic)  # [B, wh, ww, D]
 

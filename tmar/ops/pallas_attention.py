@@ -56,12 +56,15 @@ def fused_window_attention(
     bproj: jnp.ndarray,
     num_heads: int,
     mask_components: Optional[Tuple] = None,
-    windows_per_step: int = 8,
+    windows_per_step: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused window attention: Pallas forward, XLA recompute
     backward (jax.vjp of the equivalent pure function) — usable under
     jax.grad so training can run the fused forward too."""
+    if windows_per_step is None:
+        # target ~512 token rows per grid step
+        windows_per_step = max(1, 512 // x.shape[1])
     has_bqkv = bqkv is not None
     has_bproj = bproj is not None
 
