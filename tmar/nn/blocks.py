@@ -33,6 +33,34 @@ from tmar.ops.window import (
 )
 
 
+class _LNParams(nn.Module):
+    """LayerNorm scale/bias with nn.LayerNorm's param names."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+class _MlpParams(nn.Module):
+    """fc1/fc2 kernels+biases with tmar.nn.layers.Mlp's param tree."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        from tmar.nn.layers import trunc_normal_init
+        from tmar.nn.window_attention import _DenseParams
+
+        w1, b1 = _DenseParams(self.hidden, name="fc1")(self.dim)
+        w2, b2 = _DenseParams(self.dim, name="fc2")(self.hidden)
+        return (w1, b1), (w2, b2)
+
+
 class NSTB(nn.Module):
     dim: int
     ngram: int
@@ -62,6 +90,29 @@ class NSTB(nn.Module):
 
         x_in = x
         attn_out = self._attention(x, num_patches, deterministic)
+
+        if self.use_pallas and self.drop_path == 0.0 and self.drop == 0.0:
+            # fused post-norm residual FFN (tmar.ops.pallas_ffn) — same
+            # parameter tree as the separate norm/Mlp modules below
+            from tmar.nn.layers import trunc_normal_init
+            from tmar.ops.pallas_ffn import fused_residual_ffn
+
+            hidden = int(self.dim * self.mlp_ratio)
+            g1 = _LNParams(self.dim, name="norm1")()
+            ffn = _MlpParams(self.dim, hidden, name="ffn")
+            (w1, bw1), (w2, bw2) = ffn()
+            g2 = _LNParams(self.dim, name="norm2")()
+            z = fused_residual_ffn(
+                x.reshape(B * p, D).astype(self.dtype),
+                attn_out.reshape(B * p, D).astype(self.dtype),
+                g1[0], g1[1],
+                w1.astype(self.dtype), bw1,
+                w2.astype(self.dtype), bw2,
+                g2[0], g2[1],
+                interpret=self.pallas_interpret,
+            )
+            return x_in, z.reshape(B, p, D)
+
         x = x + DropPath(self.drop_path)(
             layer_norm(self.dtype, name="norm1")(attn_out), deterministic
         )
