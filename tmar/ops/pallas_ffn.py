@@ -128,6 +128,24 @@ def _forward(
     return out[:M] if pad else out
 
 
+def _erf_approx(x):
+    """Abramowitz & Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7)
+    — Mosaic has no erf/erfc lowering."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf_approx(x * 0.7071067811865476))
+
+
 def _ffn_kernel(x_ref, ao_ref, g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref,
                 g2_ref, b2_ref, out_ref, *, eps):
     def ln(v32, g_ref, b_ref):
@@ -137,7 +155,7 @@ def _ffn_kernel(x_ref, ao_ref, g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref,
 
     y = x_ref[:].astype(jnp.float32) + ln(ao_ref[:].astype(jnp.float32), g1_ref, b1_ref)
     h = jnp.dot(y.astype(w1_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32)
-    h = jax.nn.gelu(h + bw1_ref[0, :], approximate=False)
+    h = _gelu_exact(h + bw1_ref[0, :])
     o = jnp.dot(h.astype(w2_ref.dtype), w2_ref[:], preferred_element_type=jnp.float32)
     z = y + ln(o + bw2_ref[0, :], g2_ref, b2_ref)
     out_ref[:] = z.astype(out_ref.dtype)
