@@ -31,3 +31,15 @@ def test_pallas_model_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(out_pl), np.asarray(out_xla), atol=5e-5, rtol=1e-4
     )
+
+
+def test_remat_model_matches(rng):
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 1)).astype(np.float32))
+    m0 = NGswin(**TINY)
+    m1 = NGswin(**TINY, remat=True)
+    p = m0.init(jax.random.PRNGKey(0), x)["params"]
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply({"params": p}, x)), np.asarray(m1.apply({"params": p}, x))
+    )
+    g = jax.grad(lambda pp: jnp.sum(m1.apply({"params": pp}, x) ** 2))(p)
+    assert np.isfinite(float(jax.tree_util.tree_leaves(g)[0].sum()))

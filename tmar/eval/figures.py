@@ -298,6 +298,51 @@ def contrast_sweep(img01: np.ndarray, out_path: str,
     fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
 
 
+def regenerate_profiles_from_run(comparison_dir: str, dataset, out_dir: Optional[str] = None):
+    """Post-hoc figure regeneration from a finished comparison run's saved
+    ``sample_*.npy`` outputs (reference evaluation/generate_intensity_profiles.py):
+    rebuilds intensity-profile figures + a CSV of profile data without
+    re-running any model."""
+    import csv
+    import glob as _glob
+
+    out_dir = out_dir or os.path.join(comparison_dir, "profiles")
+    os.makedirs(out_dir, exist_ok=True)
+    model_dirs = [
+        d for d in sorted(os.listdir(comparison_dir))
+        if os.path.isdir(os.path.join(comparison_dir, d))
+        and _glob.glob(os.path.join(comparison_dir, d, "sample_*.npy"))
+    ]
+    if not model_dirs:
+        return []
+    sample_files = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(comparison_dir, model_dirs[0], "sample_*.npy"))
+    )
+    written = []
+    for fname in sample_files:
+        idx = int(fname.replace("sample_", "").replace(".npy", ""))
+        s = dataset[idx]
+        gt01, ct01 = (s["gt"] + 1) / 2, (s["ct"] + 1) / 2
+        preds = {
+            d: np.load(os.path.join(comparison_dir, d, fname)) for d in model_dirs
+            if os.path.exists(os.path.join(comparison_dir, d, fname))
+        }
+        fig_path = os.path.join(out_dir, f"profile_{idx:05d}.png")
+        intensity_profiles(preds, gt01, ct01, fig_path)
+        cy, cx = find_metal_center(ct01)
+        csv_path = os.path.join(out_dir, f"profile_{idx:05d}.csv")
+        with open(csv_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["x", "gt", "input"] + model_dirs)
+            for j in range(gt01.shape[1]):
+                w.writerow(
+                    [j, gt01[cy, j], ct01[cy, j]] + [preds[d][cy, j] for d in model_dirs]
+                )
+        written.append(fig_path)
+    return written
+
+
 def intensity_profiles(preds: Dict[str, np.ndarray], gt01: np.ndarray,
                        ct01: np.ndarray, out_path: str):
     """Horizontal + vertical line profiles through the metal centre

@@ -143,6 +143,7 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, num_patches: Tuple[int, int], deterministic: bool = True):
@@ -155,9 +156,12 @@ class EncoderLayer(nn.Module):
             )(x)
 
         dpr = list(self.drop_path) if self.drop_path else [0.0] * self.depth
+        # rematerialise each block's activations in backward when requested
+        # (jax.checkpoint; enables 512^2-patch training within HBM)
+        block_cls = nn.remat(NSTB, static_argnums=(2, 3)) if self.remat else NSTB
         x_prev_in = 0.0
         for i in range(self.depth):
-            blk = NSTB(
+            blk = block_cls(
                 dim=self.dim,
                 ngram=self.ngram,
                 num_heads=self.num_heads,
@@ -174,7 +178,7 @@ class EncoderLayer(nn.Module):
                 pallas_interpret=self.pallas_interpret,
                 name=f"blocks_{i}",
             )
-            x_prev_in, x = blk(x + x_prev_in, num_patches, deterministic=deterministic)
+            x_prev_in, x = blk(x + x_prev_in, num_patches, deterministic)
 
         if self.downsample:
             x_down, new_np = PatchMerging(
@@ -249,13 +253,17 @@ class DecoderLayer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, num_patches: Tuple[int, int], deterministic: bool = True):
         dpr = list(self.drop_path) if self.drop_path else [0.0] * self.depth
+        # rematerialise each block's activations in backward when requested
+        # (jax.checkpoint; enables 512^2-patch training within HBM)
+        block_cls = nn.remat(NSTB, static_argnums=(2, 3)) if self.remat else NSTB
         x_prev_in = 0.0
         for i in range(self.depth):
-            blk = NSTB(
+            blk = block_cls(
                 dim=self.dim,
                 ngram=self.ngram,
                 num_heads=self.num_heads,
@@ -272,5 +280,5 @@ class DecoderLayer(nn.Module):
                 pallas_interpret=self.pallas_interpret,
                 name=f"blocks_{i}",
             )
-            x_prev_in, x = blk(x + x_prev_in, num_patches, deterministic=deterministic)
+            x_prev_in, x = blk(x + x_prev_in, num_patches, deterministic)
         return x

@@ -51,6 +51,7 @@ class NGswin(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_attention: bool = False
     pallas_interpret: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -92,6 +93,7 @@ class NGswin(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_attention,
                 pallas_interpret=self.pallas_interpret,
+                remat=self.remat,
                 name=f"encoder_layer{i+1}",
             )(cas, num_patches, deterministic=deterministic)
             pre_merge.append(e_)
@@ -127,6 +129,7 @@ class NGswin(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas_attention,
             pallas_interpret=self.pallas_interpret,
+            remat=self.remat,
             name="decoder_layer1",
         )(bottleneck_out + e1_, num_patches_scdp, deterministic=deterministic)
         dec = layer_norm(self.dtype, name="norm")(dec)
