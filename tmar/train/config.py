@@ -32,6 +32,8 @@ class ModelConfig:
     window_size: int = 8
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
+    use_pallas_attention: bool = False
+    remat: bool = False
 
 
 @dataclasses.dataclass

@@ -64,6 +64,8 @@ def build_generator(cfg: TrainConfig):
         mlp_ratio=m.mlp_ratio,
         qkv_bias=m.qkv_bias,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+        use_pallas_attention=getattr(m, "use_pallas_attention", False),
+        remat=getattr(m, "remat", False),
     )
 
 
