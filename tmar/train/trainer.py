@@ -220,7 +220,7 @@ class Trainer:
             self._write_logs()
         return self.state
 
-    def validate(self, max_batches: int = 16) -> Dict[str, float]:
+    def validate(self, max_batches: int = 16, save_samples: bool = True) -> Dict[str, float]:
         loader = Loader(
             self.val_dataset,
             batch_size=self.cfg.data.batch_size,
@@ -232,10 +232,42 @@ class Trainer:
         for i, batch in enumerate(loader):
             if i >= max_batches:
                 break
-            _, m = self.eval_step(self.state.g_params, batch)
+            fake, m = self.eval_step(self.state.g_params, batch)
             psnrs.append(float(m["psnr"]))
             mses.append(float(m["mse"]))
+            if i == 0 and save_samples:
+                self._save_sample_grid(batch, fake)
         return {"psnr": float(np.mean(psnrs)), "mse": float(np.mean(mses))}
+
+    def _save_sample_grid(self, batch, fake, max_rows: int = 4):
+        """Input / restored / target triplet grid (the reference's periodic
+        sample images, train_combined.py:546-558)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        ct = np.asarray(jax.device_get(batch["ct"]))[..., 0]
+        gt = np.asarray(jax.device_get(batch["gt"]))[..., 0]
+        fk = np.asarray(jax.device_get(fake))[..., 0]
+        n = min(max_rows, ct.shape[0])
+        fig, axes = plt.subplots(n, 3, figsize=(9, 3 * n), squeeze=False)
+        for r in range(n):
+            for c, (img, title) in enumerate(
+                ((ct[r], "input"), (fk[r], "restored"), (gt[r], "target"))
+            ):
+                axes[r][c].imshow((img + 1) / 2, cmap="gray", vmin=0, vmax=1)
+                if r == 0:
+                    axes[r][c].set_title(title)
+                axes[r][c].axis("off")
+        fig.tight_layout()
+        fig.savefig(
+            os.path.join(self.run_dir, "samples", f"step_{int(self.state.step):08d}.png"),
+            dpi=110,
+        )
+        plt.close(fig)
 
     def _write_logs(self):
         import csv
