@@ -121,7 +121,7 @@ def bench_train_step():
     )
     radon = Radon(TRAIN_PATCH, np.linspace(0, np.pi, 180, endpoint=False))
     step = make_train_step(
-        gen, disc, g_tx, d_tx, LossWeights(), projector=radon, donate=True
+        gen, disc, g_tx, d_tx, LossWeights(), projector=radon, donate=False
     )
 
     rng = np.random.default_rng(0)
