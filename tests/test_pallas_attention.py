@@ -113,3 +113,30 @@ def test_fused_gradients_match_xla(rng):
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, wqkv, wproj)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_packed_impl_matches_blockdiag(rng, shift):
+    ws, nh, hd, D = 8, 3, 10, 32
+    N = ws * ws
+    wh = ww = 2
+    B_ = 2 * wh * ww
+    A = nh * hd
+    x = jnp.asarray(rng.standard_normal((B_, N, D)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((D, 3 * A)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal((3 * A,)).astype(np.float32) * 0.1)
+    ls = jnp.asarray(rng.standard_normal((nh, 1, 1)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal(((2 * ws - 1) ** 2, nh)).astype(np.float32) * 0.02)
+    bias = gather_rel_pos_bias(table, relative_position_index(ws, ws), nh)
+    wproj = jnp.asarray(rng.standard_normal((A, D)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.1)
+    mc = None
+    if shift:
+        m_row, m_col = shift_mask_components(ws, shift)
+        mc = (m_row, m_col, wh, ww)
+    ref = _reference(x, wqkv, bqkv, ls, bias, wproj, bproj, nh, mc)
+    got = fused_window_attention(
+        x, wqkv, bqkv, ls, bias, wproj, bproj, nh, mask_components=mc,
+        windows_per_step=4, interpret=True, impl="packed",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)

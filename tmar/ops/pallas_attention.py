@@ -58,6 +58,7 @@ def fused_window_attention(
     mask_components: Optional[Tuple] = None,
     windows_per_step: Optional[int] = None,
     interpret: bool = False,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Differentiable fused window attention: Pallas forward, XLA recompute
     backward (jax.vjp of the equivalent pure function) — usable under
@@ -76,6 +77,7 @@ def fused_window_attention(
             mask_components=mask_components,
             windows_per_step=windows_per_step,
             interpret=interpret,
+            impl=impl,
         )
 
     def op_fwd(x, wqkv, bqkv, logit_scale, bias, wproj, bproj):
@@ -115,6 +117,7 @@ def _fused_forward(
     mask_components: Optional[Tuple] = None,
     windows_per_step: int = 8,
     interpret: bool = False,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fused window attention (forward only).
 
@@ -182,8 +185,12 @@ def _fused_forward(
     x2 = x.reshape(Bp * N, D)
     out_dtype = x.dtype
 
+    import os
+
+    impl = impl or os.environ.get("TMAR_ATTN_IMPL", "blockdiag")
+    kernel_fn = _attn_kernel_packed if impl == "packed" else _attn_kernel
     kernel = functools.partial(
-        _attn_kernel, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww,
+        kernel_fn, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww,
     )
 
     out = pl.pallas_call(
@@ -216,6 +223,78 @@ def _fused_forward(
     )
     out = out.reshape(Bp, N, D)
     return out[:B_] if pad_windows else out
+
+
+def _attn_kernel_packed(
+    x_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
+    mrow_ref, mcol_ref, out_ref, *, T, N, D, nh, hd_p, wh, ww,
+):
+    """Head-packed variant: both attention dots run at full MXU width by
+    block-diagonalising K and V over heads —
+        S_all [TN, nh·TN] = Qn_all [TN, nh·hd_p] @ K_bd [nh·hd_p, nh·TN]
+        out   [TN, nh·hd_p] = P_all [TN, nh·TN] @ V_bd [nh·TN, nh·hd_p]
+    where K_bd/V_bd zero the cross-head blocks.  ~nh× more MACs than the
+    per-head loop but ~8× better MXU utilisation at hd_p=16."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    TN = T * N
+    A_p = nh * hd_p
+    x = x_ref[:]                                    # [TN, D]
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[0, :]
+
+    q = qkv[:, :A_p]                                # [TN, nh·hd_p], head-major
+    k = qkv[:, A_p : 2 * A_p]
+    v = qkv[:, 2 * A_p :]
+
+    # per-head L2 normalisation via segment sums over the head blocks
+    d_head = jax.lax.broadcasted_iota(jnp.int32, (1, A_p), 1) // hd_p  # [1, A_p]
+
+    def seg_norm(m):
+        sq = m * m
+        # sum within each head block: [TN, nh]
+        sums = jnp.sum(sq.reshape(TN, nh, hd_p), axis=-1)
+        inv = jax.lax.rsqrt(sums + 1e-24)            # [TN, nh]
+        return m * jnp.repeat(inv, hd_p, axis=1)
+
+    qn = seg_norm(q) * jnp.repeat(scale_ref[:], hd_p, axis=1)
+    kn = seg_norm(k)
+
+    # block-diagonal K over heads: [A_p, nh·TN]
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (A_p, nh * TN), 1) // TN
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (A_p, nh * TN), 0) // hd_p
+    k_tile = jnp.broadcast_to(kn.T[:, None, :], (A_p, nh, TN)).reshape(A_p, nh * TN)
+    k_bd = jnp.where(col_head == row_head, k_tile, 0.0)
+
+    s_all = jnp.dot(qn.astype(x.dtype), k_bd.astype(x.dtype),
+                    preferred_element_type=jnp.float32)      # [TN, nh·TN]
+    s3 = s_all.reshape(TN, nh, TN) + bias_ref[:].transpose(1, 0, 2)  # bias [nh,TN,TN] -> [TN,nh,TN]
+
+    if wh and ww:
+        tok = jax.lax.broadcasted_iota(jnp.int32, (TN, 1, 1), 0)
+        widx = (i * T + tok // N) % (wh * ww)
+        row_gate = (widx // ww == wh - 1).astype(jnp.float32)
+        col_gate = (widx % ww == ww - 1).astype(jnp.float32)
+        shift = row_gate * mrow_ref[:][:, None, :] + col_gate * mcol_ref[:][:, None, :]
+        s3 = s3 + shift
+
+    s3 = s3 - jnp.max(s3, axis=-1, keepdims=True)
+    e = jnp.exp(s3)
+    p3 = e / jnp.sum(e, axis=-1, keepdims=True)
+    p_all = p3.reshape(TN, nh * TN)
+
+    # block-diagonal V: [nh·TN, A_p]
+    row_head_v = jax.lax.broadcasted_iota(jnp.int32, (nh * TN, A_p), 0) // TN
+    col_head_v = jax.lax.broadcasted_iota(jnp.int32, (nh * TN, A_p), 1) // hd_p
+    v_tile = jnp.broadcast_to(v[None, :, :], (nh, TN, A_p)).reshape(nh * TN, A_p)
+    v_bd = jnp.where(row_head_v == col_head_v, v_tile, 0.0)
+
+    acc = jnp.dot(p_all.astype(x.dtype), v_bd.astype(x.dtype),
+                  preferred_element_type=jnp.float32)        # [TN, A_p]
+    proj = jnp.dot(acc.astype(wproj_ref.dtype), wproj_ref[:],
+                   preferred_element_type=jnp.float32)
+    out_ref[:] = (proj + bproj_ref[0, :]).astype(out_ref.dtype)
 
 
 def _attn_kernel(
