@@ -229,7 +229,9 @@ def _attn_kernel_packed(
     x_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
     mrow_ref, mcol_ref, out_ref, *, T, N, D, nh, hd_p, wh, ww,
 ):
-    """Head-packed variant: both attention dots run at full MXU width by
+    """EXPERIMENTAL head-packed variant (interpret-verified; currently fails
+    Mosaic layout inference on hardware — "unsupported shape cast" — see
+    PERF.md): both attention dots run at full MXU width by
     block-diagonalising K and V over heads —
         S_all [TN, nh·TN] = Qn_all [TN, nh·hd_p] @ K_bd [nh·hd_p, nh·TN]
         out   [TN, nh·hd_p] = P_all [TN, nh·TN] @ V_bd [nh·TN, nh·hd_p]
