@@ -16,12 +16,10 @@ train/eval shape buckets each get their correct constant-folded mask
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 from tmar.nn.layers import DropPath, Mlp, layer_norm
 from tmar.nn.ngram import NGramWindowPartition
@@ -53,7 +51,6 @@ class _MlpParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        from tmar.nn.layers import trunc_normal_init
         from tmar.nn.window_attention import _DenseParams
 
         w1, b1 = _DenseParams(self.hidden, name="fc1")(self.dim)
@@ -94,7 +91,6 @@ class NSTB(nn.Module):
         if self.use_pallas and self.drop_path == 0.0 and self.drop == 0.0:
             # fused post-norm residual FFN (tmar.ops.pallas_ffn) — same
             # parameter tree as the separate norm/Mlp modules below
-            from tmar.nn.layers import trunc_normal_init
             from tmar.ops.pallas_ffn import fused_residual_ffn
 
             hidden = int(self.dim * self.mlp_ratio)
