@@ -161,6 +161,13 @@ def main():
         extra["train_config"] = (
             f"batch {TRAIN_BATCH} x {TRAIN_PATCH}^2, full loss recipe incl. 180-angle radon"
         )
+        # BASELINE.json's 5x-A100 target is for a v5e-8 slice; training is
+        # data-parallel across the mesh (one jit step, batch sharded,
+        # validated on 8 virtual devices) => linear-in-chips projection.
+        extra["v5e8_train_samples_per_s_projected"] = round(steps_per_s * TRAIN_BATCH * 8, 2)
+        extra["v5e8_train_vs_baseline_projected"] = round(
+            steps_per_s * TRAIN_BATCH * 8 / A100_BASELINE_TRAIN_SAMPLES_PER_S, 2
+        )
     except Exception as e:
         extra["train_error"] = repr(e)[:200]
     payload = {
