@@ -73,6 +73,7 @@ class NSTB(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    xla_window_merge: bool = False
 
     @nn.compact
     def __call__(self, x, num_patches: Tuple[int, int], deterministic: bool = True):
@@ -139,6 +140,7 @@ class NSTB(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
+            xla_window_merge=self.xla_window_merge,
             name="ngram_window_partition",
         )(x, deterministic=deterministic)
 
@@ -159,6 +161,7 @@ class NSTB(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
+            xla_window_merge=self.xla_window_merge,
             name="attn",
         )(tokens, mask_components=mask_components, deterministic=deterministic)
 

@@ -143,6 +143,7 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    xla_window_merge: bool = False
     remat: bool = False
 
     @nn.compact
@@ -176,6 +177,7 @@ class EncoderLayer(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
+                xla_window_merge=self.xla_window_merge,
                 name=f"blocks_{i}",
             )
             x_prev_in, x = blk(x + x_prev_in, num_patches, deterministic)
@@ -253,6 +255,7 @@ class DecoderLayer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    xla_window_merge: bool = False
     remat: bool = False
 
     @nn.compact
@@ -278,6 +281,7 @@ class DecoderLayer(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
+                xla_window_merge=self.xla_window_merge,
                 name=f"blocks_{i}",
             )
             x_prev_in, x = blk(x + x_prev_in, num_patches, deterministic)

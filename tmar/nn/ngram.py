@@ -33,6 +33,7 @@ class NGramContext(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    xla_window_merge: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -57,6 +58,7 @@ class NGramContext(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
+            xla_window_merge=self.xla_window_merge,
             name="ngram_attn",
         )
 
@@ -99,6 +101,7 @@ class NGramWindowPartition(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    xla_window_merge: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, Tuple[int, int]]:
@@ -116,6 +119,7 @@ class NGramWindowPartition(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
+            xla_window_merge=self.xla_window_merge,
             name="ngram_context",
         )(x, deterministic=deterministic)  # [B, wh, ww, D]
 

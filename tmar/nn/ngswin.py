@@ -52,6 +52,7 @@ class NGswin(nn.Module):
     use_pallas_attention: bool = False
     pallas_interpret: bool = False
     remat: bool = False
+    xla_window_merge: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -94,6 +95,7 @@ class NGswin(nn.Module):
                 use_pallas=self.use_pallas_attention,
                 pallas_interpret=self.pallas_interpret,
                 remat=self.remat,
+                xla_window_merge=self.xla_window_merge,
                 name=f"encoder_layer{i+1}",
             )(cas, num_patches, deterministic=deterministic)
             pre_merge.append(e_)
@@ -130,6 +132,7 @@ class NGswin(nn.Module):
             use_pallas=self.use_pallas_attention,
             pallas_interpret=self.pallas_interpret,
             remat=self.remat,
+            xla_window_merge=self.xla_window_merge,
             name="decoder_layer1",
         )(bottleneck_out + e1_, num_patches_scdp, deterministic=deterministic)
         dec = layer_norm(self.dtype, name="norm")(dec)

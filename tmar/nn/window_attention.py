@@ -59,6 +59,7 @@ class WindowAttention(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    xla_window_merge: bool = False
 
     @nn.compact
     def __call__(
@@ -113,6 +114,30 @@ class WindowAttention(nn.Module):
             )
 
         # ---------------- XLA path (identical math) -------------------------
+        if (
+            self.xla_window_merge
+            and mask is None
+            and self.attn_drop == 0
+            and self.proj_drop == 0
+            and 128 // N > 1
+        ):
+            # merge windows so score minors hit the 128-lane tile exactly
+            # (avoids the 2x lane-padding tax; see merged_window_attention_math)
+            from tmar.ops.attention import merged_window_attention_math
+
+            return merged_window_attention_math(
+                x.astype(self.dtype),
+                wqkv.astype(self.dtype),
+                None if bqkv is None else bqkv.astype(self.dtype),
+                logit_scale,
+                bias,
+                wproj.astype(self.dtype),
+                None if bproj is None else bproj.astype(self.dtype),
+                self.num_heads,
+                merge_windows=128 // N,
+                mask_components=mask_components,
+            )
+
         if mask is None and self.attn_drop == 0 and self.proj_drop == 0:
             from tmar.ops.attention import window_attention_math
 

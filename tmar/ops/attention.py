@@ -130,6 +130,78 @@ def window_attention_math(
     return out
 
 
+def merged_window_attention_math(
+    x, wqkv, bqkv, logit_scale, bias, wproj, bproj, num_heads,
+    merge_windows: int = 2, mask_components=None,
+):
+    """Window attention with ``merge_windows`` windows stacked per attention
+    call and off-diagonal blocks masked to -1e9.
+
+    Pure-XLA, fully differentiable.  Purpose: the per-window score tensors
+    [.., N, N] with N = 64 pad their minor dim to 128 lanes on TPU — a 2x
+    memory/bandwidth tax on every attention tensor in the backward pass
+    (observed in XLA's OOM allocation dumps).  Merging m=2 windows makes the
+    minor dim 128: no padding, at the cost of 2x redundant (masked) MACs.
+    Numerically identical to the unmerged path (masked logits are -1e9, so
+    the extra columns carry exp(<-900) ~ 0 weight).
+    """
+    B_, N, D = x.shape
+    m = merge_windows
+    nh = num_heads
+    pad = (-B_) % m
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, N, D), x.dtype)])
+    Bp = x.shape[0]
+    B2 = Bp // m
+    mN = m * N
+    compute_dtype = x.dtype
+
+    xm = x.reshape(B2, mN, D)
+    qkv = xm @ wqkv
+    if bqkv is not None:
+        qkv = qkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = split_heads(q, nh)
+    k = split_heads(k, nh)
+    v = split_heads(v, nh)
+
+    eps = 1e-12
+    qn = q * (jnp.sqrt(jnp.sum(jnp.square(q).astype(jnp.float32), axis=-1, keepdims=True)) + eps).astype(compute_dtype) ** -1
+    kn = k * (jnp.sqrt(jnp.sum(jnp.square(k).astype(jnp.float32), axis=-1, keepdims=True)) + eps).astype(compute_dtype) ** -1
+    attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn, preferred_element_type=jnp.float32)
+    scale = jnp.exp(jnp.clip(logit_scale.astype(jnp.float32), max=LOGIT_SCALE_MAX))
+    attn = attn * scale[None]
+
+    # block-diagonal bias + off-diagonal -1e9 (mask is a trace-time constant;
+    # the bias itself stays a traced parameter)
+    blk = np.kron(np.eye(m, dtype=np.float32), np.ones((N, N), np.float32))
+    offdiag = jnp.asarray((1.0 - blk) * -1e9)
+    bias_m = jnp.tile(bias.astype(jnp.float32), (1, m, m)) + offdiag[None]
+    attn = attn + bias_m[None]
+
+    if mask_components is not None:
+        m_row, m_col, wh, ww = mask_components
+        nW = wh * ww
+        g = np.arange(Bp) % nW
+        rowgate = np.repeat((g // ww == wh - 1).astype(np.float32), N).reshape(B2, 1, mN, 1)
+        colgate = np.repeat((g % ww == ww - 1).astype(np.float32), N).reshape(B2, 1, mN, 1)
+        m_row_t = np.tile(np.asarray(m_row, np.float32), (m, m))
+        m_col_t = np.tile(np.asarray(m_col, np.float32), (m, m))
+        attn = attn + jnp.asarray(rowgate) * jnp.asarray(m_row_t)
+        attn = attn + jnp.asarray(colgate) * jnp.asarray(m_col_t)
+
+    attn = jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
+    attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", attn.astype(compute_dtype), v, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)
+    out = merge_heads(out) @ wproj
+    if bproj is not None:
+        out = out + bproj
+    out = out.reshape(Bp, N, -1)
+    return out[:B_] if pad else out
+
+
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """[B_, N, nh*hd] -> [B_, nh, N, hd]."""
     B_, N, C = x.shape
