@@ -112,7 +112,9 @@ def bench_train_step():
     from tmar.ops import Radon
     from tmar.train import create_train_state, make_train_step
 
-    gen = NGswin(dtype=jnp.bfloat16)
+    # xla_window_merge: lane-aligned attention scores (no 2x padding tax in
+    # the backward); fused Pallas kernels stay inference-only (no bwd kernel)
+    gen = NGswin(dtype=jnp.bfloat16, xla_window_merge=True)
     disc = MultiScaleDiscriminator(dtype=jnp.bfloat16)
     g_tx = optax.adam(1e-4, b1=0.5, b2=0.999)
     d_tx = optax.adam(2e-4, b1=0.5, b2=0.999)
