@@ -1,0 +1,54 @@
+"""End-to-end: reference torch checkpoint (.pth) -> tmar-test CLI metrics.
+
+Builds the reference torch NGswin (tiny config), saves a checkpoint in the
+reference's ``netG_state_dict`` layout, and evaluates it through the
+``tmar-test`` CLI on synthetic data — exercising load_torch_checkpoint,
+import_ngswin_state_dict and the full-slice eval path together.
+Skipped without /root/reference (needed to build the torch model).
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from torch_ref import load_reference_generator_module, reference_available  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not available"
+)
+
+
+def test_pth_checkpoint_through_cli(tmp_path):
+    import torch
+
+    ref = load_reference_generator_module()
+    tmodel = ref.NGswin(
+        training_img_size=64, ngrams=(2, 2, 2, 2), in_chans=1, embed_dim=32,
+        depths=(2, 2, 2), num_heads=(2, 2, 2), dec_dim=32, dec_depths=2,
+        dec_num_heads=2, window_size=8,
+    ).eval()
+    ckpt_path = str(tmp_path / "ref_ckpt.pth")
+    torch.save({"epoch": 3, "netG_state_dict": tmodel.state_dict()}, ckpt_path)
+
+    from tmar.cli import test as cli_test
+
+    out_dir = str(tmp_path / "results")
+    rc = cli_test(
+        [
+            "--checkpoint", ckpt_path,
+            "--out", out_dir,
+            "--max-samples", "2",
+            "--set",
+            "model.embed_dim=32", "model.depths=[2,2,2]", "model.num_heads=[2,2,2]",
+            "model.dec_dim=32", "model.dec_depths=2", "model.dec_num_heads=2",
+            "data.dataset=synthetic", "data.patch_size=64", "bf16=false",
+        ]
+    )
+    assert rc == 0
+    metrics = json.load(open(os.path.join(out_dir, "metrics.json")))
+    assert metrics["summary"]["n"] == 2
+    assert 0 < metrics["summary"]["psnr"] < 60
+    assert 0 < metrics["summary"]["ssim"] <= 1

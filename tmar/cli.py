@@ -207,7 +207,10 @@ def _build_test_dataset(cfg):
         return SpineWebDataset(
             d.spineweb_artifact, d.spineweb_clean, train=False
         )
-    return SyntheticMARDataset(size=416, length=32)
+    # synthetic fallback: full 416² slices by default, or the configured
+    # patch size when one is set (keeps CI/CPU runs fast)
+    size = d.patch_size if d.patch_size and d.patch_size != 128 else 416
+    return SyntheticMARDataset(size=size, length=32)
 
 
 def main():
