@@ -16,12 +16,35 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tmar.nn.layers import conv_normal_init
 from tmar.nn.window_attention import WindowAttention
 from tmar.ops.ngram import seq_refl_win_pad, sliding_patches
 from tmar.ops.window import cyclic_shift, window_partition
+
+
+class _GroupedConvParams(nn.Module):
+    """Conv kernel/bias params with flax nn.Conv's layout and names
+    ([kh, kw, in_per_group, out]), consumed by the dense-expansion path."""
+
+    features: int
+    kernel_size: tuple
+    in_per_group: int
+
+    @nn.compact
+    def __call__(self):
+        from tmar.nn.layers import conv_normal_init
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", conv_normal_init, (kh, kw, self.in_per_group, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
 
 
 class NGramContext(nn.Module):
@@ -40,16 +63,33 @@ class NGramContext(nn.Module):
         """x: [B, ph, pw, D] -> context [B, wh, ww, D]."""
         assert self.padding_mode in ("seq_refl_win_pad", "zero_pad")
         half = self.dim // 2
-        unigram = nn.Conv(
-            features=half,
-            kernel_size=(self.window_size, self.window_size),
-            strides=(self.window_size, self.window_size),
+        # Grouped conv (dim -> dim/2, groups=dim/2, kernel=stride=window;
+        # reference window_utils.py:36-38) executed as an equivalent DENSE
+        # conv: XLA's grouped-conv lowering on TPU is ~2x slower than a dense
+        # conv even at 32x the MACs (PERF.md), so the [k,k,2,half] grouped
+        # kernel (param layout unchanged -> checkpoint-compatible) is
+        # expanded at trace time into a block-diagonal [k,k,D,half] kernel.
+        ws = self.window_size
+        in_ch = x.shape[-1]
+        group_in = in_ch // half
+        # keep flax Conv's param naming: unigram_embed/{kernel,bias}
+        kernel, bias = _GroupedConvParams(
+            half, (ws, ws), group_in, name="unigram_embed"
+        )()
+        onehot = np.zeros((in_ch, group_in, half), np.float32)
+        for c in range(half):
+            for t in range(group_in):
+                onehot[group_in * c + t, t, c] = 1.0
+        dense_kernel = jnp.einsum(
+            "ijtc,dtc->ijdc", kernel, jnp.asarray(onehot)
+        ).astype(self.dtype)
+        unigram = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            dense_kernel,
+            window_strides=(ws, ws),
             padding="VALID",
-            feature_group_count=half,
-            dtype=self.dtype,
-            kernel_init=conv_normal_init,
-            name="unigram_embed",
-        )(x)  # [B, wh, ww, D/2]
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(self.dtype)  # [B, wh, ww, D/2]
 
         attn = WindowAttention(
             dim=half,
