@@ -92,8 +92,11 @@ class NSTB(nn.Module):
         if self.use_pallas and self.drop_path == 0.0 and self.drop == 0.0:
             # fused post-norm residual FFN (tmar.ops.pallas_ffn) — same
             # parameter tree as the separate norm/Mlp modules below
+            import jax as _jax
+
             from tmar.ops.pallas_ffn import fused_residual_ffn
 
+            interpret = self.pallas_interpret or _jax.default_backend() == "cpu"
             hidden = int(self.dim * self.mlp_ratio)
             g1 = _LNParams(self.dim, name="norm1")()
             ffn = _MlpParams(self.dim, hidden, name="ffn")
@@ -106,7 +109,7 @@ class NSTB(nn.Module):
                 w1.astype(self.dtype), bw1,
                 w2.astype(self.dtype), bw2,
                 g2[0], g2[1],
-                interpret=self.pallas_interpret,
+                interpret=interpret,
             )
             return x_in, z.reshape(B, p, D)
 

@@ -98,8 +98,11 @@ class WindowAttention(nn.Module):
                 "fused pallas attention does not implement dropout"
             )
             assert mask is None, "fused kernel takes mask_components, not a full mask"
+            import jax
+
             from tmar.ops.pallas_attention import fused_window_attention
 
+            interpret = self.pallas_interpret or jax.default_backend() == "cpu"
             return fused_window_attention(
                 x.astype(self.dtype),
                 wqkv.astype(self.dtype),
@@ -110,7 +113,7 @@ class WindowAttention(nn.Module):
                 jnp.zeros((self.dim,), self.dtype) if bproj is None else bproj.astype(self.dtype),
                 self.num_heads,
                 mask_components=mask_components,
-                interpret=self.pallas_interpret,
+                interpret=interpret,
             )
 
         # ---------------- XLA path (identical math) -------------------------
