@@ -39,15 +39,19 @@ def train(argv=None) -> int:
     ap.add_argument("--set", nargs="*", default=[], help="dotted config overrides key=value")
     ap.add_argument("--resume", action="store_true", help="resume from latest checkpoint in run dir")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--no-val", action="store_true", help="skip periodic validation")
     args = ap.parse_args(argv)
 
     from tmar.train import Trainer, load_config, resolve_variant
+    from tmar.train.trainer import build_val_dataset
 
     cfg = load_config(args.config, _parse_sets(args.set))
     if args.variant:
         cfg = resolve_variant(cfg, args.variant)
         cfg.variant = args.variant
-    trainer = Trainer(cfg)
+    trainer = Trainer(
+        cfg, val_dataset=None if args.no_val else build_val_dataset(cfg)
+    )
     if args.resume:
         ok = trainer.resume()
         print(f"[resume] {'restored from epoch ' + str(trainer.start_epoch) if ok else 'no checkpoint found, fresh start'}")
@@ -213,13 +217,32 @@ def _build_test_dataset(cfg):
     return SyntheticMARDataset(size=size, length=32)
 
 
-def main():
-    prog = os.path.basename(sys.argv[0])
-    if "test" in prog:
-        return test()
-    if "ablate" in prog:
-        return ablate()
-    return train()
+_COMMANDS = {
+    "train": train,
+    "test": test,
+    "ablate": ablate,
+    "compare": compare,
+}
+
+
+def main(argv=None):
+    """Umbrella dispatcher: ``tmar <command> [args]`` (also ``python -m tmar.cli``).
+
+    Each command is separately installed as a ``tmar-<command>`` console
+    script (pyproject [project.scripts]); this entry point parses the
+    subcommand explicitly rather than sniffing argv[0]."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        names = " | ".join(sorted(_COMMANDS))
+        print(f"usage: tmar {{{names}}} [options]\n"
+              f"run 'tmar <command> -h' for command options")
+        return 0 if argv else 2
+    cmd = argv[0]
+    if cmd not in _COMMANDS:
+        print(f"unknown command {cmd!r}; expected one of {sorted(_COMMANDS)}",
+              file=sys.stderr)
+        return 2
+    return _COMMANDS[cmd](argv[1:])
 
 
 if __name__ == "__main__":

@@ -105,6 +105,25 @@ def build_dataset(cfg: TrainConfig):
     raise ValueError(f"unknown dataset {d.dataset!r}")
 
 
+def build_val_dataset(cfg: TrainConfig):
+    """Validation split for each dataset (reference MARValDataset — last 10%
+    of the train tree at full slices, datasets.py:165-236; SpineWeb test
+    split; a held-out seeded synthetic set otherwise)."""
+    d = cfg.data
+    if d.dataset == "synthetic":
+        return SyntheticMARDataset(
+            size=d.patch_size, length=min(32, d.samples_per_epoch),
+            base_seed=d.seed + 10_000,
+        )
+    if d.dataset == "syndeeplesion":
+        from tmar.data import SynDeepLesionValDataset
+
+        return SynDeepLesionValDataset(d.root)
+    if d.dataset == "spineweb":
+        return SpineWebDataset(d.spineweb_artifact, d.spineweb_clean, train=False)
+    raise ValueError(f"unknown dataset {d.dataset!r}")
+
+
 class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None, val_dataset=None):
         self.cfg = cfg
@@ -151,6 +170,11 @@ class Trainer:
         self.best_psnr = -np.inf
         self.start_epoch = 0
         self.val_dataset = val_dataset
+        # TensorBoard-compatible scalar stream (reference
+        # train_combined.py:536-544 logs per-loss scalars + Val/*)
+        from tmar.utils.tfevents import TBWriter
+
+        self.tb = TBWriter(os.path.join(self.run_dir, "tb"))
         with open(os.path.join(self.run_dir, "config.json"), "w") as f:
             json.dump(cfg.to_dict(), f, indent=2, default=str)
 
@@ -186,7 +210,11 @@ class Trainer:
                 n += 1
                 if (i + 1) % cfg.log_every == 0 or i == 0:
                     host = {k: float(v) for k, v in metrics.items()}
-                    host.update(epoch=epoch, iter=i, step=int(self.state.step))
+                    step_no = int(self.state.step)
+                    self.tb.scalars(
+                        {f"Train/{k}": v for k, v in host.items()}, step_no
+                    )
+                    host.update(epoch=epoch, iter=i, step=step_no)
                     self.history.append(host)
                     if progress:
                         msg = " ".join(f"{k}={v:.4f}" for k, v in host.items()
@@ -200,6 +228,9 @@ class Trainer:
 
             if (epoch + 1) % cfg.val_every_n_epochs == 0 and self.val_dataset is not None:
                 val = self.validate()
+                self.tb.scalars(
+                    {f"Val/{k}": v for k, v in val.items()}, int(self.state.step)
+                )
                 epoch_summary.update({f"val_{k}": v for k, v in val.items()})
                 if val["psnr"] > self.best_psnr:
                     self.best_psnr = val["psnr"]
@@ -220,7 +251,19 @@ class Trainer:
             self._write_logs()
         return self.state
 
-    def validate(self, max_batches: int = 16, save_samples: bool = True) -> Dict[str, float]:
+    def validate(
+        self,
+        max_batches: int = 16,
+        save_samples: bool = True,
+        full_metrics: bool = True,
+    ) -> Dict[str, float]:
+        """Validation with the reference's full metric families.
+
+        Device side computes MSE/PSNR (the cheap every-epoch signal,
+        train_combined.py:586-650); when ``full_metrics`` is set the host
+        additionally computes SSIM/MAE/RMSE plus the regional
+        metal/band/non-metal and HU-domain families the reference's ablation
+        validation reports (run_ablation_studies.py:1656-1843)."""
         loader = Loader(
             self.val_dataset,
             batch_size=self.cfg.data.batch_size,
@@ -229,15 +272,38 @@ class Trainer:
             mesh=self.mesh,
         )
         psnrs, mses = [], []
+        extra: Dict[str, list] = {}
         for i, batch in enumerate(loader):
             if i >= max_batches:
                 break
             fake, m = self.eval_step(self.state.g_params, batch)
             psnrs.append(float(m["psnr"]))
             mses.append(float(m["mse"]))
+            if full_metrics:
+                from tmar.eval import metrics as M
+
+                fk = np.asarray(jax.device_get(fake))[..., 0]
+                gt = np.asarray(jax.device_get(batch["gt"]))[..., 0]
+                ct = np.asarray(jax.device_get(batch["ct"]))[..., 0]
+                for b in range(fk.shape[0]):
+                    p01 = np.clip((fk[b] + 1) / 2, 0, 1)
+                    g01 = np.clip((gt[b] + 1) / 2, 0, 1)
+                    row = {
+                        "ssim": M.ssim(p01, g01),
+                        "mae": M.mae(p01, g01),
+                        "rmse": M.rmse(p01, g01),
+                    }
+                    row.update(M.compute_regional_metrics(fk[b], gt[b], ct[b]))
+                    hu = M.compute_hu_accuracy(p01, g01)
+                    row.update({k: v for k, v in hu.items() if k.endswith("MAE") or k.endswith("RMSE")})
+                    row.update(M.hu_tolerance_rates(p01, g01))
+                    for k, v in row.items():
+                        extra.setdefault(k, []).append(float(v))
             if i == 0 and save_samples:
                 self._save_sample_grid(batch, fake)
-        return {"psnr": float(np.mean(psnrs)), "mse": float(np.mean(mses))}
+        out = {"psnr": float(np.mean(psnrs)), "mse": float(np.mean(mses))}
+        out.update({k: float(np.mean(v)) for k, v in extra.items()})
+        return out
 
     def _save_sample_grid(self, batch, fake, max_rows: int = 4):
         """Input / restored / target triplet grid (the reference's periodic
@@ -272,6 +338,7 @@ class Trainer:
     def _write_logs(self):
         import csv
 
+        self.tb.flush()
         logs = os.path.join(self.run_dir, "logs")
         if self.history:
             with open(os.path.join(logs, "training_history.csv"), "w", newline="") as f:
