@@ -16,9 +16,12 @@ import pytest
 sys.path.insert(0, os.path.dirname(__file__))
 from torch_ref import load_reference_generator_module, reference_available  # noqa: E402
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference repo not available"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not reference_available(), reason="reference repo not available"
+    ),
+]
 
 
 def test_pth_checkpoint_through_cli(tmp_path):

@@ -81,6 +81,7 @@ def test_variant_does_not_mutate_base():
     assert base.loss.adv == 0.1 and base.radon.enabled
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, mesh8):
     from tmar.checkpoint.io import CheckpointManager
     from tmar.nn import MultiScaleDiscriminator, NGswin

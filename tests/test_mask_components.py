@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from tmar.ops import cosine_window_attention, shift_attn_mask
 from tmar.ops.window import shift_mask_components
+import pytest
 
 
 def test_components_reconstruct_full_mask():
@@ -78,6 +79,7 @@ def test_merged_window_attention_matches(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ngswin_merge_flag_matches(rng):
     from tmar.nn import NGswin
     import jax

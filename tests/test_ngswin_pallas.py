@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from tmar.nn import NGswin
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     ngrams=(2, 2, 2, 2), embed_dim=32, depths=(2, 2, 2), num_heads=(2, 2, 2),
     dec_dim=32, dec_depths=2, dec_num_heads=2, window_size=8,

@@ -79,6 +79,7 @@ def test_fused_ragged_window_count(rng):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_gradients_match_xla(rng):
     """Custom VJP (pallas fwd, XLA recompute bwd) == pure XLA gradients."""
     ws, nh, hd, D = 8, 2, 8, 16

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from tmar.ops.pallas_ffn import ffn_math, fused_residual_ffn
+import pytest
 
 
 def _args(rng, M=96, D=32, H=64):
@@ -34,6 +35,7 @@ def test_ffn_kernel_ragged_rows(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ffn_kernel_gradients(rng):
     a = _args(rng, M=64)
 

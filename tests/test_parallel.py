@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from tmar.nn import NGswin
 from tmar.parallel import sharded_tiled_eval
 from tmar.eval.inference import tiled_eval
+import pytest
 
 
 TINY = dict(
@@ -16,6 +17,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_sharded_tiled_matches_single_device(mesh8, rng):
     gen = NGswin(**TINY)
     ct = rng.uniform(-1, 1, (1, 96, 96, 1)).astype(np.float32)

@@ -21,9 +21,12 @@ from torch_ref import (
     reference_available,
 )
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference repo not available"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not reference_available(), reason="reference repo not available"
+    ),
+]
 
 
 @pytest.fixture(scope="module")

@@ -57,6 +57,7 @@ def test_corrupt_crc_detected(tmp_path):
         read_scalars(w.path, check_crc=True)
 
 
+@pytest.mark.slow
 def test_trainer_emits_tb_scalars(tmp_path):
     """Trainer writes Train/* each log_every and Val/* on validation."""
     from tmar.data import SyntheticMARDataset

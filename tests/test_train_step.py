@@ -49,6 +49,7 @@ def _batch(mesh, n=8, seed=0):
     return shard_batch(mesh, batch)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_improves(mesh8, setup):
     gen, disc, state, step = setup
     batch = _batch(mesh8, 8)
@@ -73,6 +74,7 @@ def test_train_step_runs_and_improves(mesh8, setup):
     assert not np.allclose(np.asarray(u0), np.asarray(u1))
 
 
+@pytest.mark.slow
 def test_train_step_param_consistency_across_devices(mesh8, setup):
     """Replicated params stay identical after a sharded-batch step."""
     gen, disc, state, step = setup
@@ -82,6 +84,7 @@ def test_train_step_param_consistency_across_devices(mesh8, setup):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_mse_only_variant_step(mesh8):
     """A0/MSE-only config: no D applications inside the G step."""
     gen = NGswin(**TINY)
@@ -95,6 +98,7 @@ def test_mse_only_variant_step(mesh8):
     assert "g_rec" in m and np.isfinite(float(m["g_rec"]))
 
 
+@pytest.mark.slow
 def test_eval_step(mesh8, setup):
     gen, disc, state, step = setup
     eval_step = make_eval_step(gen, mesh=mesh8)

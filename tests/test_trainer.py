@@ -38,6 +38,7 @@ def _tiny_cfg(tmp_path, **kw):
     return cfg
 
 
+@pytest.mark.slow
 def test_trainer_fit_full_recipe(tmp_path, mesh8):
     cfg = _tiny_cfg(tmp_path)
     val = SyntheticMARDataset(size=64, length=8, base_seed=777)
@@ -60,6 +61,7 @@ def test_trainer_fit_full_recipe(tmp_path, mesh8):
     assert tr2.start_epoch == 1
 
 
+@pytest.mark.slow
 def test_trainer_baseline_variant(tmp_path, mesh8):
     """DCGAN-critic baseline variant (vanilla BCE, no metal weighting)."""
     cfg = _tiny_cfg(tmp_path)

@@ -20,14 +20,14 @@ def test_conditional_discriminator_forward():
     """Pix2pix-style conditional D (reference conditional_patchgan.py:26-45):
     4 stride-2 blocks + final conv -> patch logit map."""
     d = ConditionalDiscriminator()
-    x = jnp.zeros((2, 64, 64, 1))
-    cond = jnp.ones((2, 64, 64, 1))
+    x = jnp.zeros((1, 32, 32, 1))
+    cond = jnp.ones((1, 32, 32, 1))
     variables = d.init(jax.random.PRNGKey(0), x, cond)
     logits = d.apply(variables, x, cond)
-    assert logits.ndim == 4 and logits.shape[0] == 2 and logits.shape[-1] == 1
-    # patch map: 4 stride-2 blocks (64 -> 4) then the final 4x4 s1 p1
-    # conv shrinks by one (4 -> 3), pix2pix-style
-    assert logits.shape[1] == 3
+    assert logits.ndim == 4 and logits.shape[0] == 1 and logits.shape[-1] == 1
+    # patch map: 4 stride-2 blocks (32 -> 2) then the final 4x4 s1 p1
+    # conv shrinks by one (2 -> 1), pix2pix-style
+    assert logits.shape[1] == 1
     assert np.isfinite(np.asarray(logits)).all()
     # conditioning matters: different cond -> different logits
     logits2 = d.apply(variables, x, -cond)
