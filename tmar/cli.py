@@ -146,14 +146,25 @@ def compare(argv=None) -> int:
     evaluation/benchmark_comparison_syndeeplesion.py as a CLI)."""
     ap = argparse.ArgumentParser(prog="tmar-compare")
     ap.add_argument("--config", default=None)
-    ap.add_argument("--checkpoints", nargs="+", required=True,
+    ap.add_argument("--checkpoints", nargs="*", default=[],
                     help="name=path pairs (orbax dir or .pth); 'identity' allowed")
+    ap.add_argument("--adapter", nargs="*", default=[],
+                    help="name=<shell command> out-of-process adapters; the "
+                         "command gets <input.npz> <output.npy> appended "
+                         "(tmar.eval.adapters.SubprocessAdapter protocol)")
+    ap.add_argument("--sinograms", action="store_true",
+                    help="synthesize Sma/SLI/Tr sinograms for dual-domain adapters")
+    ap.add_argument("--composites", type=int, default=3,
+                    help="composite+profile figures for the first N samples")
     ap.add_argument("--set", nargs="*", default=[])
     ap.add_argument("--out", default="comparison_results")
     ap.add_argument("--num-samples", type=int, default=25)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
+    import shlex
+
+    from tmar.eval.adapters import SubprocessAdapter
     from tmar.eval.harness import ModelEntry, run_comparison
     from tmar.eval import make_inference_fn
     from tmar.train import load_config
@@ -169,8 +180,29 @@ def compare(argv=None) -> int:
         gen = build_generator(cfg)
         params = _load_generator_params(path, gen, cfg)
         entries.append(ModelEntry(name, make_inference_fn(gen, params)))
+    for spec in args.adapter:
+        name, _, cmd = spec.partition("=")
+        if not cmd:
+            raise SystemExit(f"--adapter expects name=command, got {spec!r}")
+        entries.append(ModelEntry(name, runner=SubprocessAdapter(shlex.split(cmd))))
+    if not entries:
+        raise SystemExit("no entries: pass --checkpoints and/or --adapter")
+
     ds = _build_test_dataset(cfg)
-    results = run_comparison(entries, ds, args.out, num_samples=args.num_samples, seed=args.seed)
+    radon = None
+    if args.sinograms:
+        import numpy as np
+
+        from tmar.ops import Radon
+
+        size = ds[0]["ct"].shape[0]
+        radon = Radon(
+            size, np.linspace(0, np.pi, cfg.radon.num_angles, endpoint=False)
+        )
+    results = run_comparison(
+        entries, ds, args.out, num_samples=args.num_samples, seed=args.seed,
+        radon=radon, composite_samples=args.composites,
+    )
     print(json.dumps({k: v.get("status") for k, v in results.items()}))
     return 0
 

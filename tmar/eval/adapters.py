@@ -1,0 +1,258 @@
+"""Third-party model adapters for the benchmark comparison harness.
+
+The reference's flagship eval compares 7 MAR models, each with its own
+loader and preprocessing protocol (reference
+evaluation/benchmark_comparison_syndeeplesion.py:317-943).  This module
+provides the TPU-native equivalents:
+
+* ``enrich_sample`` — builds the benchmark sample dict
+  ``{Xma, Xgt, XLI, Mask, Sma, SLI, Tr}`` the reference loads per test item
+  (:242-290).  Where the reference reads precomputed sinograms from the h5
+  (or silently passes None), we synthesize them with the in-tree Radon
+  operator, so dual-domain adapters work on any dataset.
+* preprocessing **runner factories** replicating each reference protocol:
+  - ``make_neg11_runner``   — NGswin-family [-1,1] protocol (:877-943)
+  - ``make_x255_runner``    — DICDNet / FIND-Net x255 protocol (:553-617)
+  - ``make_nmar_runner``    — InDuDoNet+ NMAR-prior protocol (:676-781)
+  - ``make_sparse_view_runner`` — MEPNet sparse-view FBP protocol (:783-875)
+  A runner maps the enriched sample dict -> [H, W] prediction in [0, 1].
+* ``SubprocessAdapter`` — out-of-process protocol for external torch
+  models: the sample dict is written to an ``.npz``, a user command runs in
+  its own process/venv (real isolation, replacing the reference's
+  sys.path/chdir/module-cache sandboxing, :300-315), and the prediction is
+  read back from an ``.npy``.
+
+Image-domain quantities are [0,1]-normalized CT; sinogram min/max follows
+the reference's ``proj_get_minmax() = (0, 4)`` (:176-177).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+IMAGE_MINMAX = (0.0, 1.0)   # reference image_get_minmax (:173-174)
+PROJ_MINMAX = (0.0, 4.0)    # reference proj_get_minmax  (:176-177)
+
+
+# ------------------------------------------------------------- enrichment
+
+def enrich_sample(
+    sample: Dict[str, np.ndarray],
+    radon=None,
+    metal_threshold: float = 0.6,
+) -> Dict[str, np.ndarray]:
+    """{ct, gt, li} in [-1,1] -> the reference benchmark dict (all [0,1]).
+
+    Mask is the binary metal mask extracted from the artifact image at the
+    canonical 0.6 threshold in [-1,1] space (reference gan_losses.py:48-64);
+    Sma/SLI are parallel-beam sinograms of Xma/XLI and Tr the metal trace
+    (Radon(Mask) > 0), synthesized when a ``radon`` operator is given.
+    """
+    ct = np.asarray(sample["ct"], np.float32)
+    gt = np.asarray(sample["gt"], np.float32)
+    li = np.asarray(sample.get("li", sample["ct"]), np.float32)
+    out: Dict[str, np.ndarray] = {
+        "Xma": np.clip((ct + 1) / 2, 0, 1),
+        "Xgt": np.clip((gt + 1) / 2, 0, 1),
+        "XLI": np.clip((li + 1) / 2, 0, 1),
+        "Mask": (ct > metal_threshold).astype(np.float32),
+    }
+    if radon is not None:
+        import jax
+
+        stack = np.stack([out["Xma"], out["XLI"], out["Mask"]])
+        sinos = np.asarray(jax.device_get(radon.forward(stack)))  # [3, A, det]
+        out["Sma"], out["SLI"] = sinos[0], sinos[1]
+        out["Tr"] = (sinos[2] > 0).astype(np.float32)
+        out["has_sinogram"] = True
+    else:
+        out["Sma"] = out["SLI"] = out["Tr"] = None
+        out["has_sinogram"] = False
+    return out
+
+
+def _norm255_img(x01: np.ndarray) -> np.ndarray:
+    lo, hi = IMAGE_MINMAX
+    return (np.clip(x01, lo, hi) * 255.0).astype(np.float32)
+
+
+def _norm255_sino(sino: np.ndarray) -> np.ndarray:
+    lo, hi = PROJ_MINMAX
+    return ((np.clip(sino, lo, hi) - lo) / (hi - lo) * 255.0).astype(np.float32)
+
+
+def _post_half(out255: np.ndarray) -> np.ndarray:
+    """clamp(out/255, 0, 0.5)/0.5 — the FIND-Net/InDuDoNet/MEPNet
+    post-processing (reference :610-614)."""
+    return np.clip(np.asarray(out255, np.float32) / 255.0, 0.0, 0.5) / 0.5
+
+
+def _post_div255(out255: np.ndarray) -> np.ndarray:
+    """out/255 clipped to [0,1] — the DICDNet post-processing (:570-572)."""
+    return np.clip(np.asarray(out255, np.float32) / 255.0, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------- runners
+
+def make_neg11_runner(forward: Callable[[np.ndarray], np.ndarray]):
+    """NGswin-family protocol (reference run_transmar/run_sgamarn :877-943):
+    clip Xma to [0,1], scale to [-1,1], forward, (out+1)/2.
+
+    ``forward``: [B,H,W,1] in [-1,1] -> [B,H,W,1] in [-1,1].
+    """
+
+    def run(sample: Dict[str, np.ndarray]) -> np.ndarray:
+        x = np.clip(sample["Xma"].astype(np.float32), 0, 1) * 2 - 1
+        out = np.asarray(forward(x[None, ..., None]))[0, ..., 0]
+        return np.clip((out + 1) / 2, 0, 1)
+
+    return run
+
+
+def make_x255_runner(
+    core: Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray],
+    postprocess: str = "div255",
+):
+    """DICDNet/FIND-Net protocol (:553-617): inputs x255, non-metal mask.
+
+    ``core(Xma255, XLI255, non_mask)`` -> out255 [H, W].
+    postprocess: 'div255' (DICDNet) or 'half' (FIND-Net's clamp-to-0.5/0.5).
+    """
+    post = {"div255": _post_div255, "half": _post_half}[postprocess]
+
+    def run(sample: Dict[str, np.ndarray]) -> np.ndarray:
+        xma = _norm255_img(sample["Xma"])
+        xli = _norm255_img(sample["XLI"])
+        non_mask = 1.0 - sample["Mask"].astype(np.float32)
+        return post(core(xma, xli, non_mask))
+
+    return run
+
+
+def make_nmar_runner(core: Callable[..., np.ndarray]):
+    """InDuDoNet+ protocol (:676-781): compute the NMAR tissue prior from the
+    LI image (k-means thresholds, miu_water=0.192 in [0,1] units) BEFORE
+    normalization, then feed x255 images/sinograms + inverted trace.
+
+    ``core(Xma255, XLI255, Sma255, SLI255, Tr, Xprior255)`` -> out255.
+    Requires an enriched sample with sinograms.
+    """
+
+    def run(sample: Dict[str, np.ndarray]) -> np.ndarray:
+        from tmar.ops.nmar import nmar_prior
+
+        if sample.get("Sma") is None:
+            raise ValueError("nmar runner needs sinograms; enrich with a Radon operator")
+        # reference nmar_prior fills metal (M==1) with miu_water; our op
+        # fills where the valid-mask < 0.5, so pass the non-metal mask
+        non_metal = 1.0 - (sample["Mask"] > 0.5).astype(np.float32)
+        prior01 = nmar_prior(
+            sample["XLI"][None], non_metal[None],
+            miu_air=0.0, miu_water=0.192,
+        )[0]
+        tr = 1.0 - sample["Tr"].astype(np.float32)  # :760-762
+        return _post_half(
+            core(
+                _norm255_img(sample["Xma"]),
+                _norm255_img(sample["XLI"]),
+                _norm255_sino(sample["Sma"]),
+                _norm255_sino(sample["SLI"]),
+                tr,
+                _norm255_img(prior01),
+            )
+        )
+
+    return run
+
+
+def make_sparse_view_runner(core: Callable[..., np.ndarray], radon, factor: int = 2):
+    """MEPNet V-(A/factor) protocol (:783-875): zero out all but every
+    ``factor``-th projection angle, FBP-reconstruct the sparse-view images,
+    and build the data-consistency trace TrDC = 1 - (Tr | dropped-angles).
+
+    ``core(Xma255, XLI255, Mask, Sma255, SLI255, TrDC)`` -> out255.
+    """
+
+    def run(sample: Dict[str, np.ndarray]) -> np.ndarray:
+        import jax
+
+        if sample.get("Sma") is None:
+            raise ValueError("sparse-view runner needs sinograms")
+        sma, sli = sample["Sma"], sample["SLI"]
+        d = np.zeros_like(sma)
+        d[::factor, :] = 1.0
+        sma_sp = d * sma
+        sli_sp = d * sli
+        recon = np.asarray(
+            jax.device_get(radon.fbp(np.stack([sma_sp, sli_sp])))
+        )  # [2, H, W]
+        xma_sp, xli_sp = np.clip(recon[0], 0, 1), np.clip(recon[1], 0, 1)
+        tr_i = np.logical_or(sample["Tr"] > 0, d == 0)
+        tr_dc = (1.0 - tr_i.astype(np.float32))
+        return _post_half(
+            core(
+                _norm255_img(xma_sp),
+                _norm255_img(xli_sp),
+                sample["Mask"].astype(np.float32),
+                _norm255_sino(sma_sp),
+                _norm255_sino(sli_sp),
+                tr_dc,
+            )
+        )
+
+    return run
+
+
+# --------------------------------------------------- out-of-process torch
+
+class SubprocessAdapter:
+    """Out-of-process adapter: run an external model in its own interpreter.
+
+    Protocol: the enriched sample dict is written to ``<tmp>/input.npz``
+    (keys Xma/Xgt/XLI/Mask and, when present, Sma/SLI/Tr; all float32);
+    ``cmd + [input_path, output_path]`` is executed; the adapter script
+    writes the [H, W] prediction in [0, 1] to ``output_path`` (``.npy``).
+
+    This replaces the reference's in-process sys.path/chdir/module-cache
+    sandboxing of third-party repos (:300-315) with real process isolation —
+    each external torch model runs in whatever interpreter/venv its ``cmd``
+    names, and a crash is contained to a FAILED row.
+    """
+
+    def __init__(self, cmd, workdir: Optional[str] = None, timeout: float = 600.0):
+        self.cmd = list(cmd)
+        self.workdir = workdir
+        self.timeout = timeout
+
+    def __call__(self, sample: Dict[str, np.ndarray]) -> np.ndarray:
+        with tempfile.TemporaryDirectory(prefix="tmar_adapter_") as td:
+            in_path = os.path.join(td, "input.npz")
+            out_path = os.path.join(td, "output.npy")
+            arrays = {
+                k: np.asarray(v, np.float32)
+                for k, v in sample.items()
+                if isinstance(v, np.ndarray)
+            }
+            np.savez(in_path, **arrays)
+            proc = subprocess.run(
+                self.cmd + [in_path, out_path],
+                cwd=self.workdir,
+                timeout=self.timeout,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"adapter subprocess failed (rc={proc.returncode}):\n"
+                    + proc.stdout[-2000:]
+                )
+            pred = np.load(out_path)
+        if pred.ndim != 2:
+            pred = np.squeeze(pred)
+        return np.clip(pred.astype(np.float32), 0, 1)

@@ -360,3 +360,62 @@ def intensity_profiles(preds: Dict[str, np.ndarray], gt01: np.ndarray,
         ax.set_title(f"{axis_name} profile through metal centre ({cy},{cx})")
         ax.legend(fontsize=7); ax.grid(alpha=0.3)
     fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def zoom_box(ct01: np.ndarray, size: Optional[int] = None) -> Tuple[int, int, int, int]:
+    """(y1, y2, x1, x2) crop box centred on the metal region (reference
+    builds zoom coords around find_metal_center, :1465-1490)."""
+    h, w = ct01.shape
+    if size is None:
+        size = max(h // 4, 32)
+    cy, cx = find_metal_center(ct01)
+    y1 = int(np.clip(cy - size // 2, 0, h - size))
+    x1 = int(np.clip(cx - size // 2, 0, w - size))
+    return y1, y1 + size, x1, x1 + size
+
+
+def composite_figure(
+    corrupted01: np.ndarray,
+    gt01: np.ndarray,
+    outputs: Dict[str, np.ndarray],
+    save_path: str,
+    zoom_coords: Optional[Tuple[int, int, int, int]] = None,
+):
+    """Multi-model composite with zoomed metal crops (reference
+    create_composite_figure, benchmark_comparison_syndeeplesion.py:957-1087):
+    2 columns (full | zoom), rows = corrupted (red box), GT (green), then one
+    green-boxed row per model; all images share the GT-derived gray window.
+    """
+    from matplotlib.patches import Rectangle
+
+    if zoom_coords is None:
+        zoom_coords = zoom_box(corrupted01)
+    y1, y2, x1, x2 = zoom_coords
+    zoom_h, zoom_w = y2 - y1, x2 - x1
+    margin = max(zoom_h // 8, 1)
+
+    gt_disp = np.clip(gt01, 0, 1)
+    vmax = float(min(max(np.percentile(gt_disp, 99.5), 0.5), 1.0))
+    rows = [("corrupted", np.clip(corrupted01, 0, 1), "red"),
+            ("ground_truth", gt_disp, "lime")]
+    rows += [(name, np.clip(img, 0, 1), "lime") for name, img in outputs.items()]
+
+    fig, axes = plt.subplots(len(rows), 2, figsize=(4, 1.8 * len(rows)),
+                             squeeze=False)
+    for r, (_, img, color) in enumerate(rows):
+        axes[r][0].imshow(img, cmap="gray", vmin=0.0, vmax=vmax)
+        axes[r][0].add_patch(Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                       linewidth=2, edgecolor=color,
+                                       facecolor="none"))
+        axes[r][1].imshow(img[y1:y2, x1:x2], cmap="gray", vmin=0.0, vmax=vmax)
+        axes[r][1].add_patch(Rectangle((margin, margin),
+                                       zoom_w - 2 * margin, zoom_h - 2 * margin,
+                                       linewidth=2, edgecolor=color,
+                                       facecolor="none"))
+        for c in (0, 1):
+            axes[r][c].axis("off")
+            axes[r][c].set_aspect("equal")
+    plt.subplots_adjust(left=0, right=1, top=1, bottom=0, wspace=0.01,
+                        hspace=0.01)
+    fig.savefig(save_path, dpi=200, bbox_inches="tight", pad_inches=0)
+    plt.close(fig)

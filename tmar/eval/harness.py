@@ -27,10 +27,25 @@ from tmar.eval.metrics import mae, psnr, rmse, ssim
 
 
 class ModelEntry:
-    def __init__(self, name: str, forward: Callable[[np.ndarray], np.ndarray]):
-        """forward: [B, H, W, 1] in [-1,1] -> [B, H, W, 1] in [-1,1]."""
+    def __init__(
+        self,
+        name: str,
+        forward: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        runner: Optional[Callable[[Dict], np.ndarray]] = None,
+    ):
+        """Either interface:
+
+        * ``forward``: [B, H, W, 1] in [-1,1] -> [B, H, W, 1] in [-1,1]
+          (in-process JAX models); or
+        * ``runner``: enriched benchmark sample dict -> [H, W] pred in [0,1]
+          (the adapter protocols in tmar.eval.adapters — x255, NMAR-prior,
+          sparse-view FBP, out-of-process subprocess).
+        """
+        if (forward is None) == (runner is None):
+            raise ValueError("provide exactly one of forward / runner")
         self.name = name
         self.forward = forward
+        self.runner = runner
 
 
 def find_metal_center(ct01: np.ndarray, threshold: float = 0.8) -> Tuple[int, int]:
@@ -50,12 +65,27 @@ def run_comparison(
     num_samples: int = 25,
     seed: int = 42,
     save_outputs: bool = True,
+    radon=None,
+    composite_samples: int = 3,
 ) -> Dict[str, Dict]:
-    """Evaluate every entry on the same seeded sample subset."""
+    """Evaluate every entry on the same seeded sample subset.
+
+    When any entry uses the runner (adapter) interface, samples are enriched
+    into the reference benchmark dict (sinograms synthesized if ``radon`` is
+    given).  After the sweep, composite figures with zoomed metal crops and
+    intensity profiles are written for the first ``composite_samples``
+    samples (reference :957-1087, :1089-1172).
+    """
+    from tmar.eval.adapters import enrich_sample
+
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     indices = rng.choice(len(dataset), size=min(num_samples, len(dataset)), replace=False)
     samples = [dataset[int(i)] for i in indices]
+    need_enrich = any(e.runner is not None for e in entries)
+    enriched = (
+        [enrich_sample(s, radon=radon) for s in samples] if need_enrich else None
+    )
 
     results: Dict[str, Dict] = {}
     for entry in entries:
@@ -63,16 +93,20 @@ def run_comparison(
         os.makedirs(model_dir, exist_ok=True)
         rows: List[Dict] = []
         try:
-            # warmup/compile on the first sample's shape
-            warm = samples[0]["ct"][None, ..., None]
-            entry.forward(warm)
+            def _predict(j: int) -> np.ndarray:
+                """-> [H, W] prediction in [0, 1]."""
+                if entry.runner is not None:
+                    return entry.runner(enriched[j])
+                ct = samples[j]["ct"][None, ..., None]
+                pred = entry.forward(ct)
+                return np.clip((np.asarray(pred)[0, ..., 0] + 1) / 2, 0, 1)
+
+            _predict(0)  # warmup/compile on the first sample's shape
             for j, s in enumerate(samples):
-                ct = s["ct"][None, ..., None]
                 gt01 = (s["gt"] + 1) / 2
                 t0 = time.perf_counter()
-                pred = entry.forward(ct)
+                pred01 = _predict(j)
                 latency = time.perf_counter() - t0
-                pred01 = np.clip((pred[0, ..., 0] + 1) / 2, 0, 1)
                 rows.append(
                     {
                         "sample": int(indices[j]),
@@ -93,6 +127,7 @@ def run_comparison(
                 for k in ("psnr", "ssim", "mae", "rmse", "latency_s")
             }
             results[entry.name] = {"status": "ok", "summary": summary, "per_sample": rows}
+            _write_per_sample_csv(rows, os.path.join(model_dir, "per_sample.csv"))
         except Exception as e:
             results[entry.name] = {"status": "FAILED", "error": repr(e)}
 
@@ -100,7 +135,52 @@ def run_comparison(
             json.dump(results[entry.name], f, indent=2)
 
     _write_combined(results, out_dir)
+    if save_outputs and composite_samples:
+        _write_composites(
+            results, samples, indices, out_dir, min(composite_samples, len(samples))
+        )
     return results
+
+
+def _write_per_sample_csv(rows: List[Dict], path: str):
+    import csv
+
+    if not rows:
+        return
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+
+
+def _write_composites(results, samples, indices, out_dir, n):
+    """Composite + intensity-profile figures from the saved per-model npys."""
+    try:
+        from tmar.eval.figures import composite_figure, intensity_profiles
+    except Exception:
+        return  # matplotlib unavailable
+    fig_dir = os.path.join(out_dir, "figures")
+    os.makedirs(fig_dir, exist_ok=True)
+    ok_models = [m for m, r in results.items() if r["status"] == "ok"]
+    for j in range(n):
+        idx = int(indices[j])
+        ct01 = np.clip((samples[j]["ct"] + 1) / 2, 0, 1)
+        gt01 = np.clip((samples[j]["gt"] + 1) / 2, 0, 1)
+        outputs = {}
+        for m in ok_models:
+            p = os.path.join(out_dir, m, f"sample_{idx:05d}.npy")
+            if os.path.exists(p):
+                outputs[m] = np.load(p)
+        if not outputs:
+            continue
+        composite_figure(
+            ct01, gt01, outputs,
+            os.path.join(fig_dir, f"composite_sample_{idx:05d}.png"),
+        )
+        intensity_profiles(
+            outputs, gt01, ct01,
+            os.path.join(fig_dir, f"profiles_sample_{idx:05d}.png"),
+        )
 
 
 def _write_combined(results: Dict[str, Dict], out_dir: str):
