@@ -114,30 +114,83 @@ def test(argv=None) -> int:
 
 
 def ablate(argv=None) -> int:
+    """Ablation sweep with the reference's artifact depth
+    (run_ablation_studies.py): train each ablation, evaluate on the full
+    test set with global/regional/HU metric + plot families at fixed
+    vis-sample indices, then write the cross-ablation summary.
+    --inference-only re-evaluates saved checkpoints without training
+    (reference run_inference_only, :1884-2134)."""
     ap = argparse.ArgumentParser(prog="tmar-ablate", description="Run the ablation matrix")
     ap.add_argument("--config", default=None)
     ap.add_argument("--ablations", nargs="*", default=None, help="default: all")
     ap.add_argument("--set", nargs="*", default=[])
     ap.add_argument("--epochs", type=int, default=10, help="reference runs 10-epoch ablations")
+    ap.add_argument("--inference-only", action="store_true",
+                    help="skip training; restore each ablation's checkpoint "
+                         "from its run dir and re-run the evaluation")
+    ap.add_argument("--max-eval-samples", type=int, default=None,
+                    help="cap the test-set evaluation (default: full set)")
+    ap.add_argument("--vis-samples", type=int, default=8,
+                    help="fixed seeded visualization samples shared across ablations")
     args = ap.parse_args(argv)
 
+    import numpy as np
+
+    from tmar.eval import make_inference_fn
+    from tmar.eval.ablation import cross_ablation_summary, evaluate_run, fixed_vis_indices
     from tmar.train import ABLATIONS, Trainer, load_config, resolve_variant
+    from tmar.train.trainer import build_generator, build_val_dataset
 
     names = args.ablations or sorted(ABLATIONS)
+    base_cfg = load_config(args.config, _parse_sets(args.set))
+    test_ds = _build_test_dataset(base_cfg)
+    vis = fixed_vis_indices(
+        min(len(test_ds), args.max_eval_samples or len(test_ds)),
+        k=args.vis_samples,
+    )
     results = {}
     for name in names:
         cfg = load_config(args.config, _parse_sets(args.set))
         cfg = resolve_variant(cfg, name)
         cfg.variant = name
         cfg.run_name = f"ablation_{name}"
+        run_dir = os.path.join(cfg.run_dir, cfg.run_name)
         try:
-            trainer = Trainer(cfg)
-            trainer.fit(num_epochs=args.epochs)
-            results[name] = {"status": "ok", "best_psnr": trainer.best_psnr,
-                             "run_dir": trainer.run_dir}
+            history = val_history = None
+            if args.inference_only:
+                import jax
+
+                gen = build_generator(cfg)
+                params = _load_generator_params(
+                    os.path.join(run_dir, "checkpoints"), gen, cfg
+                )
+            else:
+                trainer = Trainer(cfg, val_dataset=build_val_dataset(cfg))
+                trainer.fit(num_epochs=args.epochs)
+                gen, run_dir = trainer.generator, trainer.run_dir
+                import jax
+
+                params = jax.device_get(trainer.state.g_params)
+                history, val_history = trainer.history, trainer.val_history
+            summary = evaluate_run(
+                make_inference_fn(gen, params),
+                test_ds,
+                os.path.join(run_dir, "evaluation"),
+                vis_indices=vis,
+                max_samples=args.max_eval_samples,
+                history=history,
+                val_history=val_history,
+                name=name,
+            )
+            results[name] = {"status": "ok", "summary": summary, "run_dir": run_dir}
         except Exception as e:  # record FAILED rows like the reference sweep
             results[name] = {"status": "FAILED", "error": str(e)}
-    print(json.dumps(results, indent=2))
+    summary_csv = cross_ablation_summary(results, base_cfg.run_dir)
+    print(json.dumps(
+        {n: r["status"] for n, r in results.items()}
+        | {"summary_csv": summary_csv},
+        indent=2,
+    ))
     return 0
 
 
