@@ -260,6 +260,92 @@ def compare(argv=None) -> int:
     return 0
 
 
+def finetune_cmd(argv=None) -> int:
+    """Fine-tune a benchmark architecture on paired artifact/clean data,
+    optionally with the dual-domain trace-masked sinogram loss (reference
+    scripts/finetune_all_benchmarks.py as a CLI)."""
+    ap = argparse.ArgumentParser(prog="tmar-finetune")
+    ap.add_argument("--arch", default="redcnn",
+                    choices=["redcnn", "transformer", "bafresnet"],
+                    help="benchmark architecture to fine-tune")
+    ap.add_argument("--artifact-dir", default=None)
+    ap.add_argument("--clean-dir", default=None)
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="generate N synthetic pairs instead of reading npy dirs")
+    ap.add_argument("--mode", default="patch", choices=["patch", "resize"])
+    ap.add_argument("--patch-size", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=25,
+                    help="reference fine-tunes 25 epochs")
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lambda-sino", type=float, default=0.1,
+                    help="0 disables the sinogram term (image-domain loop)")
+    ap.add_argument("--num-angles", type=int, default=180)
+    ap.add_argument("--out", default="finetune_results")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from tmar.data import BenchmarkFinetuneDataset
+    from tmar.nn import BAFResNet, DenoisingTransformer, RedCNN
+    from tmar.ops import Radon
+    from tmar.train import FinetuneWeights, finetune
+
+    if args.synthetic:
+        import tempfile
+
+        from tmar.data.synthetic import SyntheticMARDataset
+
+        tmp = tempfile.mkdtemp(prefix="tmar_ft_syn_")
+        art, cln = os.path.join(tmp, "artifact"), os.path.join(tmp, "clean")
+        os.makedirs(art)
+        os.makedirs(cln)
+        syn = SyntheticMARDataset(size=args.patch_size, length=args.synthetic)
+        for i in range(args.synthetic):
+            s = syn[i]
+            # store as HU so the dataset's windowing round-trips
+            np.save(os.path.join(art, f"{i:04d}.npy"), (s["ct"] + 1) / 2 * 3000 - 1000)
+            np.save(os.path.join(cln, f"{i:04d}.npy"), (s["gt"] + 1) / 2 * 3000 - 1000)
+        args.artifact_dir, args.clean_dir = art, cln
+    if not args.artifact_dir or not args.clean_dir:
+        raise SystemExit("pass --artifact-dir/--clean-dir or --synthetic N")
+
+    ds = BenchmarkFinetuneDataset(
+        args.artifact_dir, args.clean_dir,
+        patch_size=args.patch_size, mode=args.mode,
+    )
+    model = {"redcnn": RedCNN, "transformer": DenoisingTransformer,
+             "bafresnet": BAFResNet}[args.arch]()
+    projector = None
+    if args.lambda_sino:
+        projector = Radon(
+            args.patch_size,
+            np.linspace(0, np.pi, args.num_angles, endpoint=False),
+        )
+    result = finetune(
+        model, ds,
+        num_epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        weights=FinetuneWeights(sino=args.lambda_sino),
+        projector=projector, progress=True,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    import pickle
+
+    with open(os.path.join(args.out, f"{args.arch}_finetuned.pkl"), "wb") as f:
+        pickle.dump(jax_tree_to_numpy(result["state"].params), f)
+    with open(os.path.join(args.out, "history.json"), "w") as f:
+        json.dump(result["history"], f, indent=2)
+    print(json.dumps({"final": result["history"][-1], "out": args.out}))
+    return 0
+
+
+def jax_tree_to_numpy(tree):
+    import jax
+    import numpy as np
+
+    return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
 def _load_generator_params(path: str, gen, cfg):
     import jax
     import jax.numpy as jnp
@@ -307,6 +393,7 @@ _COMMANDS = {
     "test": test,
     "ablate": ablate,
     "compare": compare,
+    "finetune": finetune_cmd,
 }
 
 

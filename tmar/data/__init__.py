@@ -3,6 +3,7 @@ from tmar.data.synthetic import SyntheticMARDataset
 from tmar.data.syndeeplesion import SynDeepLesionTrainDataset, SynDeepLesionValDataset, SynDeepLesionTestDataset
 from tmar.data.spineweb import SpineWebDataset
 from tmar.data.spineweb_selfsup import SpineWebSelfSupervisedDataset
+from tmar.data.finetune import BenchmarkFinetuneDataset
 from tmar.data.loader import Loader
 
 __all__ = [
@@ -16,5 +17,6 @@ __all__ = [
     "SynDeepLesionTestDataset",
     "SpineWebDataset",
     "SpineWebSelfSupervisedDataset",
+    "BenchmarkFinetuneDataset",
     "Loader",
 ]
