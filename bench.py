@@ -149,14 +149,55 @@ def bench_train_step():
     return iters / (time.perf_counter() - t0)
 
 
+def bench_host_pipeline():
+    """Host input-pipeline throughput via the production shard-cache path:
+    build a small npy shard cache, then measure Loader samples/s (mmap read
+    + crop + flip + NHWC batch assembly).  Compared against the 8-chip
+    training consumption rate (VERDICT r1 #9)."""
+    import shutil
+    import tempfile
+
+    from tmar.data import Loader, ShardCachedDataset, SyntheticMARDataset, build_shard_cache
+
+    tmp = tempfile.mkdtemp(prefix="tmar_bench_cache_")
+    try:
+        build_shard_cache(
+            SyntheticMARDataset(size=416, length=64), tmp, shard_size=32
+        )
+        ds = ShardCachedDataset(tmp, patch_size=TRAIN_PATCH, augment=True, length=2048)
+        loader = Loader(ds, batch_size=TRAIN_BATCH, num_workers=4, keys=("ct", "gt"))
+        it = iter(loader)
+        for _ in range(8):  # warm page cache / threads
+            next(it)
+        n = 128
+        t0 = time.perf_counter()
+        for _ in range(n):
+            next(it)
+        dt = time.perf_counter() - t0
+        return n * TRAIN_BATCH / dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     _setup_cache()
     slices_per_s = bench_inference()
     extra = {}
+
+    # absolute numbers + analytic-FLOPs utilisation (VERDICT r1 #10) — the
+    # anchor-relative multipliers ride alongside, not instead
+    from tmar.nn import NGswin as _NG
+
+    flops_per_slice = int(_NG().flops((SLICE, SLICE)))
+    extra["flops_per_slice"] = flops_per_slice
+    extra["ms_per_slice"] = round(1000.0 / slices_per_s, 2)
+    extra["tflops_achieved"] = round(flops_per_slice * slices_per_s / 1e12, 3)
+
     try:
         steps_per_s = bench_train_step()
         extra["train_steps_per_s"] = round(steps_per_s, 3)
         extra["train_samples_per_s"] = round(steps_per_s * TRAIN_BATCH, 3)
+        extra["train_ms_per_step"] = round(1000.0 / steps_per_s, 1)
         extra["train_vs_baseline"] = round(
             steps_per_s * TRAIN_BATCH / A100_BASELINE_TRAIN_SAMPLES_PER_S, 2
         )
@@ -172,6 +213,13 @@ def main():
         )
     except Exception as e:
         extra["train_error"] = repr(e)[:200]
+    try:
+        host_sps = bench_host_pipeline()
+        extra["host_samples_per_s"] = round(host_sps, 1)
+        consumption_8chip = extra.get("train_samples_per_s", 8.0) * 8
+        extra["host_vs_8chip_consumption"] = round(host_sps / consumption_8chip, 2)
+    except Exception as e:
+        extra["host_pipeline_error"] = repr(e)[:200]
     payload = {
         "metric": "ngswin_512_inference",
         "value": round(slices_per_s, 3),

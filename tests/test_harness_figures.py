@@ -103,3 +103,34 @@ def test_additional_plot_families(tmp_path):
     F.contrast_sweep(gt01, str(tmp_path / "contrast.png"))
     for f in ("hist", "regional", "seg", "waves", "vcurves", "contrast"):
         assert (tmp_path / f"{f}.png").stat().st_size > 1000
+
+
+def test_summary_table_and_distribution_figures(tmp_path):
+    ds = SyntheticMARDataset(size=64, length=12)
+    entries = [
+        ModelEntry("identity", lambda x: x),
+        ModelEntry("zeros", lambda x: x * 0),
+    ]
+    results = run_comparison(entries, ds, str(tmp_path), num_samples=4)
+    table = (tmp_path / "summary_table.txt").read_text()
+    assert "identity" in table and "zeros" in table
+    assert "PSNR" in table and "ms/sample" in table
+    assert len(table.splitlines()) == 4  # header + rule + 2 model rows
+    assert os.path.exists(tmp_path / "figures" / "metric_boxplots.png")
+    assert os.path.exists(tmp_path / "figures" / "per_image_psnr.png")
+    assert results["identity"]["status"] == "ok"
+
+
+def test_selected_slices_cache_mode(tmp_path):
+    ds = SyntheticMARDataset(size=64, length=20)
+    cache = str(tmp_path / "cache" / "selected.npy")
+    e = [ModelEntry("identity", lambda x: x)]
+    r1 = run_comparison(e, ds, str(tmp_path / "a"), num_samples=5,
+                        indices_cache=cache, save_outputs=False, seed=42)
+    # second run with a DIFFERENT seed must reuse the cached indices
+    r2 = run_comparison(e, ds, str(tmp_path / "b"), num_samples=5,
+                        indices_cache=cache, save_outputs=False, seed=7)
+    s1 = [row["sample"] for row in r1["identity"]["per_sample"]]
+    s2 = [row["sample"] for row in r2["identity"]["per_sample"]]
+    assert s1 == s2
+    assert os.path.exists(cache)

@@ -5,6 +5,7 @@ from tmar.data.spineweb import SpineWebDataset
 from tmar.data.spineweb_selfsup import SpineWebSelfSupervisedDataset
 from tmar.data.finetune import BenchmarkFinetuneDataset
 from tmar.data.loader import Loader
+from tmar.data.shard_cache import ShardCachedDataset, build_shard_cache, cache_syndeeplesion
 
 __all__ = [
     "normalize01_to_pm1",
@@ -19,4 +20,7 @@ __all__ = [
     "SpineWebSelfSupervisedDataset",
     "BenchmarkFinetuneDataset",
     "Loader",
+    "ShardCachedDataset",
+    "build_shard_cache",
+    "cache_syndeeplesion",
 ]

@@ -208,6 +208,37 @@ def plot_histograms(preds: Dict[str, np.ndarray], gt01: np.ndarray, out_path: st
     fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
 
 
+def plot_metric_boxplots(per_model_rows: Dict[str, list], out_path: str,
+                         metrics: Tuple[str, ...] = ("psnr", "ssim", "mae", "rmse")):
+    """Per-model distribution boxplots of the per-sample metrics
+    (reference benchmark_tests/test_transmar_syndeeplesion.py:526-739
+    boxplot family).  per_model_rows: {model: [row dicts with metric keys]}."""
+    models = list(per_model_rows)
+    metrics = [m for m in metrics if any(m in r for rows in per_model_rows.values() for r in rows)]
+    fig, axes = plt.subplots(1, len(metrics), figsize=(3.2 * len(metrics), 4))
+    if len(metrics) == 1:
+        axes = [axes]
+    for ax, metric in zip(axes, metrics):
+        data = [[r[metric] for r in per_model_rows[m] if metric in r] for m in models]
+        ax.boxplot(data, tick_labels=models, showmeans=True)
+        ax.set_title(metric.upper()); ax.grid(alpha=0.3, axis="y")
+        ax.tick_params(axis="x", rotation=45, labelsize=7)
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
+def plot_per_image_metrics(per_model_rows: Dict[str, list], out_path: str,
+                           metric: str = "psnr"):
+    """Per-sample metric trace, one line per model, samples on x
+    (reference per-image plot family, test_transmar_syndeeplesion.py:526-739)."""
+    fig, ax = plt.subplots(figsize=(9, 4))
+    for name, rows in per_model_rows.items():
+        xs = [r.get("sample", i) for i, r in enumerate(rows)]
+        ax.plot(xs, [r[metric] for r in rows], marker="o", ms=3, lw=1, label=name)
+    ax.set_xlabel("sample index"); ax.set_ylabel(metric.upper())
+    ax.legend(fontsize=8); ax.grid(alpha=0.3)
+    fig.tight_layout(); fig.savefig(out_path, dpi=150); plt.close(fig)
+
+
 def plot_regional_comparison(regional: Dict[str, Dict[str, float]], out_path: str):
     """Bar chart of metal/band/non-metal PSNR per model
     (run_ablation_studies.py:716 family).  regional: {model: {region_PSNR}}."""

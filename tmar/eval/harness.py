@@ -67,6 +67,7 @@ def run_comparison(
     save_outputs: bool = True,
     radon=None,
     composite_samples: int = 3,
+    indices_cache: Optional[str] = None,
 ) -> Dict[str, Dict]:
     """Evaluate every entry on the same seeded sample subset.
 
@@ -79,8 +80,19 @@ def run_comparison(
     from tmar.eval.adapters import enrich_sample
 
     os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    indices = rng.choice(len(dataset), size=min(num_samples, len(dataset)), replace=False)
+    # "selected slices" mode: reuse a cached index list across runs/models so
+    # every comparison sees the same slices (reference
+    # benchmark_tests/test_transmar_syndeeplesion.py:887-900)
+    if indices_cache is not None and os.path.exists(indices_cache):
+        indices = np.load(indices_cache)[:num_samples]
+    else:
+        rng = np.random.default_rng(seed)
+        indices = rng.choice(
+            len(dataset), size=min(num_samples, len(dataset)), replace=False
+        )
+        if indices_cache is not None:
+            os.makedirs(os.path.dirname(indices_cache) or ".", exist_ok=True)
+            np.save(indices_cache, indices)
     samples = [dataset[int(i)] for i in indices]
     need_enrich = any(e.runner is not None for e in entries)
     enriched = (
@@ -135,11 +147,61 @@ def run_comparison(
             json.dump(results[entry.name], f, indent=2)
 
     _write_combined(results, out_dir)
+    write_summary_table(results, os.path.join(out_dir, "summary_table.txt"))
+    _write_distribution_figures(results, out_dir)
     if save_outputs and composite_samples:
         _write_composites(
             results, samples, indices, out_dir, min(composite_samples, len(samples))
         )
     return results
+
+
+def write_summary_table(results: Dict[str, Dict], path: str):
+    """Aligned text summary table (reference
+    benchmark_tests/test_transmar_syndeeplesion.py:741-863 table writer)."""
+    cols = ["model", "status", "PSNR", "SSIM", "MAE", "RMSE", "ms/sample"]
+    rows = []
+    for name, res in results.items():
+        if res["status"] != "ok":
+            rows.append([name, res["status"], "-", "-", "-", "-", "-"])
+            continue
+        s = res["summary"]
+        rows.append([
+            name, "ok",
+            f"{s['psnr']['mean']:.2f}±{s['psnr']['std']:.2f}",
+            f"{s['ssim']['mean']:.4f}±{s['ssim']['std']:.4f}",
+            f"{s['mae']['mean']:.5f}",
+            f"{s['rmse']['mean']:.5f}",
+            f"{s['latency_s']['mean'] * 1000:.1f}",
+        ])
+    widths = [max(len(c), *(len(r[i]) for r in rows)) if rows else len(c)
+              for i, c in enumerate(cols)]
+    lines = [
+        "  ".join(c.ljust(w) for c, w in zip(cols, widths)),
+        "  ".join("-" * w for w in widths),
+    ]
+    lines += ["  ".join(v.ljust(w) for v, w in zip(r, widths)) for r in rows]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _write_distribution_figures(results: Dict[str, Dict], out_dir: str):
+    """Boxplots + per-image metric traces over all ok models."""
+    per_model = {
+        name: res["per_sample"]
+        for name, res in results.items()
+        if res["status"] == "ok" and res.get("per_sample")
+    }
+    if not per_model:
+        return
+    try:
+        from tmar.eval.figures import plot_metric_boxplots, plot_per_image_metrics
+    except Exception:
+        return  # matplotlib unavailable
+    fig_dir = os.path.join(out_dir, "figures")
+    os.makedirs(fig_dir, exist_ok=True)
+    plot_metric_boxplots(per_model, os.path.join(fig_dir, "metric_boxplots.png"))
+    plot_per_image_metrics(per_model, os.path.join(fig_dir, "per_image_psnr.png"))
 
 
 def _write_per_sample_csv(rows: List[Dict], path: str):

@@ -59,15 +59,24 @@ def fused_window_attention(
     windows_per_step: Optional[int] = None,
     interpret: bool = False,
     impl: Optional[str] = None,
+    backward: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Differentiable fused window attention: Pallas forward, XLA recompute
-    backward (jax.vjp of the equivalent pure function) — usable under
-    jax.grad so training can run the fused forward too."""
+    """Differentiable fused window attention.
+
+    Forward: Pallas kernel.  Backward: ``backward="pallas"`` runs the
+    hand-written fused backward kernel (recompute-in-VMEM — the score/softmax
+    tensors never touch HBM in either direction); ``backward="xla"`` falls
+    back to jax.vjp of the equivalent pure function.  Default comes from
+    ``TMAR_ATTN_BWD`` (pallas)."""
     if windows_per_step is None:
         # target ~512 token rows per grid step
         windows_per_step = max(1, 512 // x.shape[1])
     has_bqkv = bqkv is not None
     has_bproj = bproj is not None
+    if backward is None:
+        import os
+
+        backward = os.environ.get("TMAR_ATTN_BWD", "pallas")
 
     @jax.custom_vjp
     def op(x, wqkv, bqkv, logit_scale, bias, wproj, bproj):
@@ -85,9 +94,16 @@ def fused_window_attention(
         return out, (x, wqkv, bqkv, logit_scale, bias, wproj, bproj)
 
     def op_bwd(res, g):
+        x, wqkv, bqkv, logit_scale, bias, wproj, bproj = res
+        if backward == "pallas":
+            return _fused_backward(
+                x, wqkv, bqkv, logit_scale, bias, wproj, bproj,
+                g.astype(x.dtype), num_heads,
+                mask_components=mask_components,
+                interpret=interpret,
+            )
         from tmar.ops.attention import window_attention_math
 
-        x, wqkv, bqkv, logit_scale, bias, wproj, bproj = res
         _, vjp = jax.vjp(
             lambda *a: window_attention_math(
                 *a, num_heads=num_heads, mask_components=mask_components
@@ -103,6 +119,38 @@ def fused_window_attention(
         x, wqkv, bqkv if has_bqkv else zeros_b3, logit_scale, bias, wproj,
         bproj if has_bproj else zeros_bp,
     )
+
+
+def _pack_params(wqkv, bqkv, logit_scale, wproj, num_heads, hd, hd_p, dtype):
+    """Repack qkv/proj weights head-major with the head dim zero-padded to
+    hd_p, plus the exp-clipped per-head scale vector.  Shared by the forward
+    and backward kernels (layouts must match exactly)."""
+    D = wqkv.shape[0]
+    nh = num_heads
+    wq = wqkv.reshape(D, 3, nh, hd).transpose(1, 2, 0, 3)  # [3, nh, D, hd]
+    wq = jnp.pad(wq, ((0, 0), (0, 0), (0, 0), (0, hd_p - hd)))
+    w_packed = wq.transpose(2, 0, 1, 3).reshape(D, 3 * nh * hd_p)
+    if bqkv is not None:
+        bq = bqkv.reshape(3, nh, hd)
+        bq = jnp.pad(bq, ((0, 0), (0, 0), (0, hd_p - hd))).reshape(3 * nh * hd_p)
+    else:
+        bq = jnp.zeros((3 * nh * hd_p,), jnp.float32)
+    wp = wproj.reshape(nh, hd, D)
+    wp = jnp.pad(wp, ((0, 0), (0, hd_p - hd), (0, 0))).reshape(nh * hd_p, D)
+    scale_vec = jnp.exp(
+        jnp.clip(logit_scale.reshape(nh).astype(jnp.float32), max=LOGIT_SCALE_MAX)
+    )
+    return w_packed.astype(dtype), bq, wp.astype(dtype), scale_vec
+
+
+def _unpack_wqkv_grad(dw_packed, dbq_packed, num_heads, hd, hd_p, A):
+    """Inverse of _pack_params for the qkv weight/bias gradients (drop the
+    zero-padding columns)."""
+    D = dw_packed.shape[0]
+    nh = num_heads
+    dw = dw_packed.reshape(D, 3, nh, hd_p)[..., :hd].reshape(D, 3 * A)
+    dbq = dbq_packed.reshape(3, nh, hd_p)[..., :hd].reshape(3 * A)
+    return dw, dbq
 
 
 def _fused_forward(
@@ -145,20 +193,9 @@ def _fused_forward(
     T = windows_per_step
     TN = T * N
 
-    # --- repack weights head-major with padded head dim (zero pad) ----------
-    wq = wqkv.reshape(D, 3, nh, hd).transpose(1, 2, 0, 3)  # [3, nh, D, hd]
-    wq = jnp.pad(wq, ((0, 0), (0, 0), (0, 0), (0, hd_p - hd)))
-    w_packed = wq.transpose(2, 0, 1, 3).reshape(D, 3 * nh * hd_p)
-    if bqkv is not None:
-        bq = bqkv.reshape(3, nh, hd)
-        bq = jnp.pad(bq, ((0, 0), (0, 0), (0, hd_p - hd))).reshape(3 * nh * hd_p)
-    else:
-        bq = jnp.zeros((3 * nh * hd_p,), jnp.float32)
-    wp = wproj.reshape(nh, hd, D)
-    wp = jnp.pad(wp, ((0, 0), (0, hd_p - hd), (0, 0))).reshape(nh * hd_p, D)
-
-    scale_vec = jnp.exp(
-        jnp.clip(logit_scale.reshape(nh).astype(jnp.float32), max=LOGIT_SCALE_MAX)
+    out_dtype = x.dtype
+    w_packed, bq, wp, scale_vec = _pack_params(
+        wqkv, bqkv, logit_scale, wproj, nh, hd, hd_p, out_dtype
     )
 
     # --- pre-tiled [TN, TN] additive terms ----------------------------------
@@ -223,6 +260,235 @@ def _fused_forward(
     )
     out = out.reshape(Bp, N, D)
     return out[:B_] if pad_windows else out
+
+
+def _fused_backward(
+    x, wqkv, bqkv, logit_scale, bias, wproj, bproj, g, num_heads,
+    mask_components=None, interpret=False, windows_per_step=None,
+):
+    """Hand-written fused backward: recomputes the forward per block in VMEM
+    and emits all seven cotangents in one kernel.  Weight/bias/scale grads
+    are grid-accumulated f32 outputs (constant index map, init at step 0);
+    scores/softmax never touch HBM — same property as the forward."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B_, N, D = x.shape
+    A3 = wqkv.shape[1]
+    A = A3 // 3
+    nh = num_heads
+    hd = A // nh
+    hd_p = max(_round_up(hd, 8), 8)
+    A_p = nh * hd_p
+    # smaller T than the forward: the backward holds ~4 live [TN, TN] f32
+    # tensors per head
+    T = windows_per_step or max(1, 256 // N)
+    TN = T * N
+
+    w_packed, bq, wp, scale_vec = _pack_params(
+        wqkv, bqkv, logit_scale, wproj, nh, hd, hd_p, x.dtype
+    )
+
+    blk = np.kron(np.eye(T, dtype=np.float32), np.ones((N, N), np.float32))
+    bias_big = jnp.asarray((1.0 - blk) * NEG)[None] + jnp.tile(
+        bias.astype(jnp.float32), (1, T, T)
+    )
+    if mask_components is not None:
+        m_row, m_col, wh, ww = mask_components
+        mrow_big = jnp.asarray(_tile_block(np.asarray(m_row, np.float32), T))
+        mcol_big = jnp.asarray(_tile_block(np.asarray(m_col, np.float32), T))
+    else:
+        wh = ww = 0
+        mrow_big = jnp.zeros((TN, TN), jnp.float32)
+        mcol_big = jnp.zeros((TN, TN), jnp.float32)
+
+    pad_windows = (-B_) % T
+    if pad_windows:
+        zpad = jnp.zeros((pad_windows, N, D), x.dtype)
+        x = jnp.concatenate([x, zpad])
+        g = jnp.concatenate([g.astype(x.dtype), zpad])
+    Bp = x.shape[0]
+    x2 = x.reshape(Bp * N, D)
+    g2 = g.astype(x.dtype).reshape(Bp * N, D)
+
+    kernel = functools.partial(
+        _attn_bwd_kernel, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww,
+    )
+    const = lambda i: (0, 0)  # noqa: E731
+    dx, dw_p, dbq_p, dscale, dbias, dwp_p, dbp = pl.pallas_call(
+        kernel,
+        grid=(Bp // T,),
+        in_specs=[
+            pl.BlockSpec((TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * A_p), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * A_p), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, TN, TN), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A_p, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TN), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TN), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * A_p), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * A_p), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, N, N), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A_p, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp * N, D), x.dtype),
+            jax.ShapeDtypeStruct((D, 3 * A_p), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * A_p), jnp.float32),
+            jax.ShapeDtypeStruct((nh, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nh, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((A_p, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        x2,
+        g2,
+        w_packed,
+        bq.reshape(1, -1).astype(jnp.float32),
+        scale_vec.reshape(1, nh),
+        bias_big,
+        wp,
+        mrow_big,
+        mcol_big,
+    )
+
+    dx = dx.reshape(Bp, N, D)
+    if pad_windows:
+        dx = dx[:B_]
+    dwqkv, dbqkv = _unpack_wqkv_grad(dw_p, dbq_p[0], nh, hd, hd_p, A)
+    dwproj = dwp_p.reshape(nh, hd_p, D)[:, :hd].reshape(A, D)
+    # route the per-head scale grad through exp(clip(·)) exactly as XLA would
+    _, vjp_scale = jax.vjp(
+        lambda t: jnp.exp(
+            jnp.clip(t.reshape(nh).astype(jnp.float32), max=LOGIT_SCALE_MAX)
+        ),
+        logit_scale,
+    )
+    (dls,) = vjp_scale(dscale.reshape(nh))
+    return (
+        dx.astype(x.dtype),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.astype(wqkv.dtype),
+        dls.astype(logit_scale.dtype),
+        dbias.astype(bias.dtype),
+        dwproj.astype(wproj.dtype),
+        dbp.reshape(D).astype(wproj.dtype),
+    )
+
+
+def _attn_bwd_kernel(
+    x_ref, g_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref,
+    mrow_ref, mcol_ref,
+    dx_ref, dw_ref, dbq_ref, dscale_ref, dbias_ref, dwp_ref, dbp_ref,
+    *, T, N, D, nh, hd_p, wh, ww,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    TN = T * N
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dbq_ref[:] = jnp.zeros_like(dbq_ref)
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dwp_ref[:] = jnp.zeros_like(dwp_ref)
+        dbp_ref[:] = jnp.zeros_like(dbp_ref)
+
+    x = x_ref[:]                                     # [TN, D]
+    gf = g_ref[:].astype(jnp.float32)
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[0, :]
+
+    if wh and ww:
+        tok = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0)
+        widx = (i * T + tok // N) % (wh * ww)
+        row_gate = (widx // ww == wh - 1).astype(jnp.float32)
+        col_gate = (widx % ww == ww - 1).astype(jnp.float32)
+        shift_mask = row_gate * mrow_ref[:] + col_gate * mcol_ref[:]
+    else:
+        shift_mask = None
+
+    # E [N, TN]: T horizontally-tiled identities; E @ M @ Eᵀ sums M's NxN
+    # blocks (ds is zero off the block diagonal, so this is exactly the
+    # tile-gradient of the pre-tiled bias)
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, TN), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, TN), 0)
+    E = (col % N == row).astype(jnp.float32)
+
+    dqs, dks, dvs, outs = [], [], [], []
+    for h in range(nh):
+        q = qkv[:, (0 * nh + h) * hd_p : (0 * nh + h) * hd_p + hd_p]
+        k = qkv[:, (1 * nh + h) * hd_p : (1 * nh + h) * hd_p + hd_p]
+        v = qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p]
+        rq = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
+        rk = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
+        qn = q * rq
+        kn = k * rk
+        cos = jax.lax.dot_general(
+            qn, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                            # [TN, TN]
+        s = cos * scale_ref[0, h] + bias_ref[h]
+        if shift_mask is not None:
+            s = s + shift_mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)   # f32 [TN, TN]
+        outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
+
+        wp_h = wproj_ref[h * hd_p : (h + 1) * hd_p, :].astype(jnp.float32)
+        dacc = jax.lax.dot_general(                  # g @ wp_hᵀ -> [TN, hd_p]
+            gf, wp_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(                    # dacc @ vᵀ -> [TN, TN]
+            dacc, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dv = jax.lax.dot_general(                    # pᵀ @ dacc -> [TN, hd_p]
+            p, dacc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+        d1 = jnp.dot(E, ds, preferred_element_type=jnp.float32)      # [N, TN]
+        dbias_ref[h] += jax.lax.dot_general(
+            d1, E, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dscale_ref[h : h + 1, :] += jnp.sum(ds * cos).reshape(1, 1)
+
+        dcos = ds * scale_ref[0, h]
+        dqn = jnp.dot(dcos, kn, preferred_element_type=jnp.float32)
+        dkn = jax.lax.dot_general(                   # dcosᵀ @ qn
+            dcos, qn, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqs.append(rq * (dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)))
+        dks.append(rk * (dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)))
+        dvs.append(dv)
+
+    acc = jnp.concatenate(outs, axis=-1)             # [TN, A_p] f32
+    dwp_ref[:] += jax.lax.dot_general(               # accᵀ @ g -> [A_p, D]
+        acc, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbp_ref[:] += jnp.sum(gf, axis=0, keepdims=True)
+
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # [TN, 3·A_p] f32
+    dx = jax.lax.dot_general(                         # dqkv @ wqkvᵀ -> [TN, D]
+        dqkv, wqkv_ref[:].astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    dw_ref[:] += jax.lax.dot_general(                 # xᵀ @ dqkv -> [D, 3·A_p]
+        x.astype(jnp.float32), dqkv,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dbq_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
 
 
 def _attn_kernel_packed(
