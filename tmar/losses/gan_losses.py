@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from tmar.ops.gradients import image_gradients
@@ -122,14 +123,18 @@ def physics_loss_syn(fake, real, M, projector):
     """Sinogram consistency outside the metal trace (gan_losses.py:222-253):
     mean[(1 - Mp)·|P(fake) - P(real)|], Mp = (P(M) > 0).
 
-    The three projections run as ONE batched Radon call (the operator's
-    pass-A einsum triples its M dimension instead of launching 3x)."""
+    Only P(fake) sits on the gradient path; the clean-image and mask
+    projections are constants w.r.t. the generator, so they run as one
+    batched stop-gradient Radon call — the transposed-projection backward
+    then covers B images instead of 3B."""
     B = fake.shape[0]
-    stacked = jnp.concatenate([fake, real, M], axis=0)
-    proj = projector.forward(stacked)
-    proj_fake, proj_real, m_proj = proj[:B], proj[B : 2 * B], proj[2 * B :]
+    proj_fake = projector.forward(fake)
+    const = projector.forward(
+        jax.lax.stop_gradient(jnp.concatenate([real, M], axis=0))
+    )
+    proj_real, m_proj = const[:B], const[B:]
     mp = (m_proj > 0).astype(jnp.float32)
-    return jnp.mean((1.0 - mp) * jnp.abs(proj_fake - proj_real))
+    return jnp.mean((1.0 - mp) * jnp.abs(proj_fake - jax.lax.stop_gradient(proj_real)))
 
 
 # --------------------------------------------------------------- combined

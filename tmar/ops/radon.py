@@ -121,12 +121,45 @@ class Radon:
         self._bp_idx0 = np.clip(out0, 0, det - 1).astype(np.int32)
         self._bp_idx1 = np.clip(out1, 0, det - 1).astype(np.int32)
 
+        # The operator pair is linear and exactly transposed (same k, f), so
+        # each direction's VJP is the other direction — wired explicitly via
+        # custom_vjp.  Autodiff through ``take_along_axis`` would instead emit
+        # scatter-adds in the backward pass (TPU-hostile); this keeps both
+        # directions pure gather+einsum.
+        @jax.custom_vjp
+        def _fwd_op(img):
+            return self._forward_impl(img)
+
+        def _fwd_f(img):
+            return _fwd_op(img), jnp.zeros((), img.dtype)
+
+        def _fwd_b(tok, g):
+            return (self._adjoint_impl(g).astype(tok.dtype),)
+
+        _fwd_op.defvjp(_fwd_f, _fwd_b)
+        self._fwd_op = _fwd_op
+
+        @jax.custom_vjp
+        def _adj_op(sino):
+            return self._adjoint_impl(sino)
+
+        def _adj_f(sino):
+            return _adj_op(sino), jnp.zeros((), sino.dtype)
+
+        def _adj_b(tok, g):
+            return (self._forward_impl(g).astype(tok.dtype),)
+
+        _adj_op.defvjp(_adj_f, _adj_b)
+        self._adj_op = _adj_op
+
     # ------------------------------------------------------------------ fwd
     def forward(self, img: jnp.ndarray) -> jnp.ndarray:
         """[B, H, W] (or [B, H, W, 1]) -> sinogram [B, A, det] (float32)."""
-        squeeze_ch = img.ndim == 4
-        if squeeze_ch:
+        if img.ndim == 4:
             img = img[..., 0]
+        return self._fwd_op(img)
+
+    def _forward_impl(self, img: jnp.ndarray) -> jnp.ndarray:
         img = img.astype(jnp.float32)
         # Pass A: [A, det, H] x [B, H, W] -> [B, A, det, W]
         t = jnp.einsum(
@@ -151,6 +184,9 @@ class Radon:
     # --------------------------------------------------------------- adjoint
     def backward(self, sino: jnp.ndarray) -> jnp.ndarray:
         """Adjoint (unfiltered backprojection): [B, A, det] -> [B, H, W]."""
+        return self._adj_op(sino)
+
+    def _adjoint_impl(self, sino: jnp.ndarray) -> jnp.ndarray:
         sino = sino.astype(jnp.float32)
         # Transpose of pass B: U[b,a,s',j] = (1-f)·P[b,a,s'+k] + f·P[b,a,s'+k+1]
         # with the same per-column k, f as the forward.

@@ -59,6 +59,11 @@ class OptimConfig:
 class RadonConfig:
     enabled: bool = True
     num_angles: int = 180
+    # MXU precision of the projection einsums in the TRAINING physics loss:
+    # "highest" (6-pass f32, the eval/FBP default), "high" (3-pass), or
+    # "default" (bf16 single pass).  The loss compares two same-op sinogram
+    # projections, so reduced precision perturbs only the λ_phys=0.02 term.
+    precision: str = "highest"
 
 
 @dataclasses.dataclass

@@ -95,14 +95,21 @@ def make_train_step(
     def train_step(state: GANTrainState, batch):
         ct, real = batch["ct"], batch["gt"]
 
-        # ---------------- D step (G frozen) ---------------------------------
-        fake = jax.lax.stop_gradient(
-            generator.apply({"params": state.g_params}, ct)
+        # ONE generator forward serves both halves of the iteration: its
+        # value (stop-gradded) feeds the D step, its VJP closure feeds the G
+        # step.  The reference runs 3 G forwards per iteration
+        # (train_combined.py:410,433 + sampling); the split-loss formulation
+        # below is numerically identical to re-running the forward because
+        # the D update never touches g_params.
+        fake, g_vjp = jax.vjp(
+            lambda p: generator.apply({"params": p}, ct), state.g_params
         )
+        fake_sg = jax.lax.stop_gradient(fake)
         real_pair = jnp.concatenate([ct, real], axis=-1)
-        fake_pair = jnp.concatenate([ct, fake], axis=-1)
 
+        # ---------------- D step (G frozen) ---------------------------------
         def d_loss_fn(d_params, d_sn):
+            fake_pair = jnp.concatenate([ct, fake_sg], axis=-1)
             real_logits, _, d_sn = apply_d(d_params, d_sn, real_pair, False)
             fake_logits, _, d_sn = apply_d(d_params, d_sn, fake_pair, False)
             if weights.gan_mode == "hinge":
@@ -118,8 +125,8 @@ def make_train_step(
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---------------- G step (new D) ------------------------------------
-        def g_loss_fn(g_params, d_sn):
-            fake = generator.apply({"params": g_params}, ct)
+        # Loss as a function of the generator OUTPUT; g_grads = vjp(dL/dfake).
+        def g_out_loss_fn(fake, d_sn):
             fake_pair = jnp.concatenate([ct, fake], axis=-1)
             fake_logits, fake_feats, d_sn = (
                 apply_d(d_params, d_sn, fake_pair, True)
@@ -136,9 +143,10 @@ def make_train_step(
             )
             return total, (terms, d_sn)
 
-        (g_loss, (g_terms, d_sn)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.g_params, d_sn)
+        (g_loss, (g_terms, d_sn)), dfake = jax.value_and_grad(
+            g_out_loss_fn, has_aux=True
+        )(fake, d_sn)
+        (g_grads,) = g_vjp(dfake)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 

@@ -141,9 +141,17 @@ class Trainer:
 
         projector = None
         if cfg.radon.enabled and cfg.loss.phys:
+            import jax as _jax
+
+            prec = {
+                "highest": _jax.lax.Precision.HIGHEST,
+                "high": _jax.lax.Precision.HIGH,
+                "default": _jax.lax.Precision.DEFAULT,
+            }[cfg.radon.precision]
             projector = Radon(
                 cfg.data.patch_size,
                 np.linspace(0, np.pi, cfg.radon.num_angles, endpoint=False),
+                precision=prec,
             )
         self.projector = projector
 
