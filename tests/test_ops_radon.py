@@ -117,3 +117,33 @@ def test_channel_dim_accepted():
     img = jnp.ones((2, 32, 32, 1))
     sino = radon.forward(img)
     assert sino.shape == (2, 8, 32)
+
+
+def test_pass_b_matches_bruteforce_shift():
+    """The shift-bin matmul + diagonal stride-trick must reproduce the
+    per-column fractional shift-and-clip exactly (incl. detector-edge
+    clipping), for even and odd sizes."""
+    for size in (16, 17):
+        r = Radon(size, np.linspace(0, np.pi, 11, endpoint=False))
+        rng = np.random.default_rng(size)
+        img = rng.normal(size=(2, size, size)).astype(np.float32)
+        sino = np.asarray(r.forward(jnp.asarray(img)))
+
+        # brute force: pass A dense, then shift column j by beta with linear
+        # interp, clipping out-of-range detector bins
+        A = r.num_angles
+        det = r.det_count
+        c = (size - 1) / 2.0
+        ref = np.zeros((2, A, det), np.float64)
+        t = np.einsum("asi,biw->basw", r._proj_mat.astype(np.float64), img)
+        for a in range(A):
+            for j in range(size):
+                beta = np.cos(np.float64(r.angles[a])) * (j - c)
+                k = int(np.floor(beta))
+                f = beta - k
+                for s in range(det):
+                    if 0 <= s - k < det:
+                        ref[:, a, s] += (1 - f) * t[:, a, s - k, j]
+                    if 0 <= s - k - 1 < det:
+                        ref[:, a, s] += f * t[:, a, s - k - 1, j]
+        np.testing.assert_allclose(sino, ref, rtol=2e-4, atol=2e-4)

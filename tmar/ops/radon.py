@@ -18,21 +18,31 @@ Design (TPU-first, no scatter/ray-marching):
                        — a single batched einsum against a precomputed
                        [A, det, H] constant (~12 MB for 180×128²).
 
-      pass B  (VPU):   P[b,a,s]   = Σ_j (1-f)·T[b,a,s-k,j] + f·T[b,a,s-k-1,j]
-                       where β_j(θ_a) = k_aj + f_aj — a per-column fractional
-                       shift expressed as two ``take_along_axis`` gathers with
-                       precomputed integer indices, then a reduction over j.
+      pass B  (MXU):   P[b,a,s]   = Σ_j (1-f)·T[b,a,s-k,j] + f·T[b,a,s-k-1,j]
+                       where β_j(θ_a) = k_aj + f_aj.  Implemented WITHOUT
+                       gathers (XLA's TPU gather lowering measured ~190 ms
+                       at 24×180×128² — the whole train step's hot spot):
+                       the per-column fractional shift is a matmul against a
+                       precomputed shift-bin matrix G[a, j, m] (weight 1-f at
+                       bin k_aj, f at bin k_aj+1), followed by an
+                       anti-diagonal summation Σ_m A[s - κ_m, m] expressed as
+                       a pure pad→reshape→slice→sum (the classic stride-trick:
+                       flat[m·S_pad + (σ-m)] = flat[m·(S_pad-1) + σ], so
+                       re-reshaping with row width S_pad-1 aligns every
+                       diagonal into a column).  Out-of-range detector bins
+                       land in the zero padding — identical clipping
+                       semantics to torch-radon's det_count = img_size.
 
     The composed kernel is tri⊛tri (2-bin support) — a consistent,
     mass-conserving linear discretisation of the Radon transform; rays whose
     detector coordinate falls outside [0, det) are clipped, matching
     torch-radon's det_count = img_size behaviour.
 
-    The operator is linear, so gradients flow through einsum/gather VJPs
-    automatically (physics loss backprop into the generator, reference
-    losses/gan_losses.py:222-253).  The adjoint (backprojection) is
-    implemented explicitly with the same gather structure (the transpose of a
-    gather is a scatter, which is slow on TPU — so we gather both ways).
+    The operator is linear; the adjoint (backprojection) is implemented
+    explicitly as the exact transpose of the two passes (Gᵀ matmul + the
+    transposed stride-trick), and forward/adjoint are wired as each other's
+    custom VJP so the physics-loss backward (reference
+    losses/gan_losses.py:222-253) is the same pure-matmul pipeline.
 
 Also provides the ramp-filtered backprojection (FBP) needed by the reference's
 figure-2 physics pipeline (reference
@@ -98,34 +108,32 @@ class Radon:
         self._proj_mat = _triangle_matrix(alpha, det).transpose(0, 2, 1).astype(np.float32)
         # -> [A, det, H]
 
-        # Pass B constants: β_j(a) = (j-c) cosθ_a = k + f
+        # Pass B constants: β_j(a) = (j-c) cosθ_a = k + f.  Taps at shifts k
+        # (weight 1-f) and k+1 (weight f) become columns of the shift-bin
+        # matrix G[a, j, m], m indexing shift values κ_m = k_min + m.
         beta = cos[:, None] * cols[None, :]            # [A, W]
         k = np.floor(beta).astype(np.int64)
         f = (beta - k).astype(np.float32)
-        s_out = np.arange(det, dtype=np.int64)
-        # idx0[a, s, j] = s - k_aj ; idx1 = idx0 - 1
-        idx0 = s_out[None, :, None] - k[:, None, :]    # [A, det, W]
-        idx1 = idx0 - 1
-        self._valid0 = ((idx0 >= 0) & (idx0 < det)).astype(np.float32)
-        self._valid1 = ((idx1 >= 0) & (idx1 < det)).astype(np.float32)
-        self._idx0 = np.clip(idx0, 0, det - 1).astype(np.int32)
-        self._idx1 = np.clip(idx1, 0, det - 1).astype(np.int32)
-        self._frac = f  # [A, W]
+        k_min = int(k.min())
+        k_max = int(k.max()) + 1                       # +1: the fractional tap
+        K = k_max - k_min + 1
+        W = cols.shape[0]
+        G = np.zeros((A, W, K), np.float32)
+        a_idx = np.repeat(np.arange(A), W)
+        j_idx = np.tile(np.arange(W), A)
+        np.add.at(G, (a_idx, j_idx, (k - k_min).ravel()), (1.0 - f).ravel())
+        np.add.at(G, (a_idx, j_idx, (k - k_min).ravel() + 1), f.ravel())
+        self._shift_bins = G
+        self._k_min = k_min
+        self._K = K
+        # row width for the diagonal stride-trick; guarantees every
+        # out-of-range (s - κ_m) read lands in zero padding (see _pass_b)
+        self._s_pad = det + K
 
-        # Adjoint (pass-B transpose) gather indices, from the SAME k as the
-        # forward so the operators are exact transposes of each other.
-        out0 = s_out[None, :, None] + k[:, None, :]    # [A, det(src s'), W]
-        out1 = out0 + 1
-        self._bp_valid0 = ((out0 >= 0) & (out0 < det)).astype(np.float32)
-        self._bp_valid1 = ((out1 >= 0) & (out1 < det)).astype(np.float32)
-        self._bp_idx0 = np.clip(out0, 0, det - 1).astype(np.int32)
-        self._bp_idx1 = np.clip(out1, 0, det - 1).astype(np.int32)
-
-        # The operator pair is linear and exactly transposed (same k, f), so
+        # The operator pair is linear and exactly transposed (same G), so
         # each direction's VJP is the other direction — wired explicitly via
-        # custom_vjp.  Autodiff through ``take_along_axis`` would instead emit
-        # scatter-adds in the backward pass (TPU-hostile); this keeps both
-        # directions pure gather+einsum.
+        # custom_vjp.  This keeps both directions pure matmul+reshape (no
+        # scatter in either autodiff direction).
         @jax.custom_vjp
         def _fwd_op(img):
             return self._forward_impl(img)
@@ -169,14 +177,40 @@ class Radon:
             preferred_element_type=jnp.float32,
             precision=self.precision,
         )
-        # Pass B: fractional shift per column then reduce over W.
-        g0 = jnp.take_along_axis(t, self._idx0[None], axis=2)
-        g1 = jnp.take_along_axis(t, self._idx1[None], axis=2)
-        # _valid* are [A, det, W]; _frac is [A, W], broadcast over det bins.
-        w0 = (1.0 - self._frac)[:, None, :] * self._valid0
-        w1 = self._frac[:, None, :] * self._valid1
-        sino = jnp.sum(g0 * w0[None] + g1 * w1[None], axis=-1)
-        return sino
+        # Pass B: shift-bin matmul over columns, then diagonal summation.
+        # A2[b, a, m, s'] = Σ_j t[b, a, s', j] · G[a, j, m]
+        a2 = jnp.einsum(
+            "basw,awm->bams",
+            t,
+            self._shift_bins,
+            preferred_element_type=jnp.float32,
+            precision=self.precision,
+        )
+        return self._diag_sum(a2)
+
+    def _diag_sum(self, a2: jnp.ndarray) -> jnp.ndarray:
+        """Σ_m A2[.., m, σ - m] via the stride trick (σ = s - k_min):
+        flatten (m, s') row-major with row width S_pad, then re-reshape with
+        row width S_pad - 1 — every anti-diagonal becomes a column."""
+        B, A = a2.shape[:2]
+        det, K, S_pad = self.det_count, self._K, self._s_pad
+        off = -self._k_min
+        ap = jnp.pad(a2, ((0, 0), (0, 0), (0, 0), (0, S_pad - det)))
+        flat = ap.reshape(B, A, K * S_pad)
+        c = flat[..., : K * (S_pad - 1)].reshape(B, A, K, S_pad - 1)
+        return jnp.sum(c[..., off : off + det], axis=2)
+
+    def _diag_spread(self, sino: jnp.ndarray) -> jnp.ndarray:
+        """Exact transpose of _diag_sum: [B, A, det] -> [B, A, K, det]."""
+        B, A = sino.shape[:2]
+        det, K, S_pad = self.det_count, self._K, self._s_pad
+        off = -self._k_min
+        c = jnp.zeros((B, A, K, S_pad - 1), sino.dtype)
+        c = c.at[..., off : off + det].set(sino[:, :, None, :])
+        flat = jnp.pad(
+            c.reshape(B, A, K * (S_pad - 1)), ((0, 0), (0, 0), (0, K))
+        )
+        return flat.reshape(B, A, K, S_pad)[..., :det]
 
     def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
         return self.forward(img)
@@ -188,14 +222,16 @@ class Radon:
 
     def _adjoint_impl(self, sino: jnp.ndarray) -> jnp.ndarray:
         sino = sino.astype(jnp.float32)
-        # Transpose of pass B: U[b,a,s',j] = (1-f)·P[b,a,s'+k] + f·P[b,a,s'+k+1]
-        # with the same per-column k, f as the forward.
-        sino_e = sino[:, :, :, None]  # [B, A, det, 1]
-        g0 = jnp.take_along_axis(sino_e, self._bp_idx0[None], axis=2)
-        g1 = jnp.take_along_axis(sino_e, self._bp_idx1[None], axis=2)
-        u = g0 * ((1.0 - self._frac)[:, None, :] * self._bp_valid0)[None] + g1 * (
-            self._frac[:, None, :] * self._bp_valid1
-        )[None]  # [B, A, det, W]
+        # Transpose of pass B: spread the sinogram back over the shift
+        # diagonals, then contract the shift bins with Gᵀ.
+        da2 = self._diag_spread(sino)                  # [B, A, K, det] (=bams)
+        u = jnp.einsum(
+            "bams,awm->basw",
+            da2,
+            self._shift_bins,
+            preferred_element_type=jnp.float32,
+            precision=self.precision,
+        )
         # Transpose of pass A: img[b,i,w] = Σ_a Σ_s M[a,s,i] U[b,a,s,w]
         img = jnp.einsum(
             "asi,basw->biw",
