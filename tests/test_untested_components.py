@@ -143,3 +143,20 @@ def test_syndeeplesion_val_dataset(syn_root_small):
     assert s["ct"].shape == (40, 40)
     assert s["ct"].min() >= -1.0 and s["ct"].max() <= 1.0
     assert set(s) == {"ct", "gt", "li"}
+
+
+def test_measurements_quick_look(tmp_path, monkeypatch):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from tmar.data.measurements import show_first_result
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    assert show_first_result(str(tmp_path / "missing")) is None
+    plt.imsave(tmp_path / "b.png", np.zeros((4, 4)), cmap="gray")
+    plt.imsave(tmp_path / "a.png", np.zeros((4, 4)), cmap="gray")
+    shown = show_first_result(str(tmp_path))
+    assert shown is not None and shown.endswith("a.png")
+    assert (tmp_path / "_first_result_view.png").exists()
