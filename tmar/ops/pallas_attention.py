@@ -68,14 +68,26 @@ def fused_window_attention(
     tensors never touch HBM in either direction); ``backward="xla"`` falls
     back to jax.vjp of the equivalent pure function.  Default comes from
     ``TMAR_ATTN_BWD`` (pallas)."""
+    import os
+
+    if impl is None:
+        # per-window batched ops for full-size windows (no [TN, TN] tensors);
+        # blockdiag for the tiny n-gram windows (N=4), where merging T
+        # windows into one dot IS the MXU shaping (see _attn_kernel_batched)
+        auto = "batched" if x.shape[1] >= 32 else "blockdiag"
+        impl = os.environ.get("TMAR_ATTN_IMPL", auto)
     if windows_per_step is None:
-        # target ~512 token rows per grid step
-        windows_per_step = max(1, 512 // x.shape[1])
+        if impl == "batched":
+            # no T² cost — bigger tiles amortise the grid; T=32 measured
+            # best at N=64 (19.6 ms vs 25.7 at T=8), T=64 exceeds the 16 MB
+            # scoped-vmem limit
+            windows_per_step = max(1, 2048 // x.shape[1])
+        else:
+            # target ~512 token rows per grid step
+            windows_per_step = max(1, 512 // x.shape[1])
     has_bqkv = bqkv is not None
     has_bproj = bproj is not None
     if backward is None:
-        import os
-
         backward = os.environ.get("TMAR_ATTN_BWD", "pallas")
 
     @jax.custom_vjp
@@ -198,22 +210,55 @@ def _fused_forward(
         wqkv, bqkv, logit_scale, wproj, nh, hd, hd_p, out_dtype
     )
 
-    # --- pre-tiled [TN, TN] additive terms ----------------------------------
-    # off-block-diagonal -> NEG (token only attends inside its own window)
-    blk = np.kron(np.eye(T, dtype=np.float32), np.ones((N, N), np.float32))
-    offdiag = (1.0 - blk) * NEG
-    bias_big = jnp.asarray(offdiag)[None] + jnp.tile(
-        bias.astype(jnp.float32), (1, T, T)
-    )  # [nh, TN, TN]
+    import os
 
-    if mask_components is not None:
-        m_row, m_col, wh, ww = mask_components
-        mrow_big = jnp.asarray(_tile_block(np.asarray(m_row, np.float32), T))
-        mcol_big = jnp.asarray(_tile_block(np.asarray(m_col, np.float32), T))
+    # default: per-window batched ops for full-size windows (no [TN, TN]
+    # tensors — measured 25.7 vs 44.5 ms/layer at 512²); blockdiag for the
+    # tiny n-gram windows (N=4), where merging T windows into one dot IS
+    # the MXU shaping
+    auto = "batched" if N >= 32 else "blockdiag"
+    impl = impl or os.environ.get("TMAR_ATTN_IMPL", auto)
+
+    if impl == "batched":
+        # raw per-window constants — the batched kernel broadcasts over T
+        bias_big = bias.astype(jnp.float32)          # [nh, N, N]
+        if mask_components is not None:
+            m_row, m_col, wh, ww = mask_components
+            mrow_big = jnp.asarray(m_row, jnp.float32)
+            mcol_big = jnp.asarray(m_col, jnp.float32)
+        else:
+            wh = ww = 0
+            mrow_big = jnp.zeros((N, N), jnp.float32)
+            mcol_big = jnp.zeros((N, N), jnp.float32)
+    elif impl == "diag":
+        # vertical [·, TN, N] tiles: softmax/bias/mask run on the diagonal
+        # blocks only (see _attn_kernel_diag)
+        bias_big = jnp.tile(bias.astype(jnp.float32), (1, T, 1))  # [nh, TN, N]
+        if mask_components is not None:
+            m_row, m_col, wh, ww = mask_components
+            mrow_big = jnp.tile(jnp.asarray(m_row, jnp.float32), (T, 1))
+            mcol_big = jnp.tile(jnp.asarray(m_col, jnp.float32), (T, 1))
+        else:
+            wh = ww = 0
+            mrow_big = jnp.zeros((TN, N), jnp.float32)
+            mcol_big = jnp.zeros((TN, N), jnp.float32)
     else:
-        wh = ww = 0
-        mrow_big = jnp.zeros((TN, TN), jnp.float32)
-        mcol_big = jnp.zeros((TN, TN), jnp.float32)
+        # --- pre-tiled [TN, TN] additive terms ------------------------------
+        # off-block-diagonal -> NEG (token only attends inside its own window)
+        blk = np.kron(np.eye(T, dtype=np.float32), np.ones((N, N), np.float32))
+        offdiag = (1.0 - blk) * NEG
+        bias_big = jnp.asarray(offdiag)[None] + jnp.tile(
+            bias.astype(jnp.float32), (1, T, T)
+        )  # [nh, TN, TN]
+
+        if mask_components is not None:
+            m_row, m_col, wh, ww = mask_components
+            mrow_big = jnp.asarray(_tile_block(np.asarray(m_row, np.float32), T))
+            mcol_big = jnp.asarray(_tile_block(np.asarray(m_col, np.float32), T))
+        else:
+            wh = ww = 0
+            mrow_big = jnp.zeros((TN, TN), jnp.float32)
+            mcol_big = jnp.zeros((TN, TN), jnp.float32)
 
     pad_windows = (-B_) % T
     if pad_windows:
@@ -222,32 +267,33 @@ def _fused_forward(
     x2 = x.reshape(Bp * N, D)
     out_dtype = x.dtype
 
-    import os
-
-    impl = impl or os.environ.get("TMAR_ATTN_IMPL", "blockdiag")
-    kernel_fn = _attn_kernel_packed if impl == "packed" else _attn_kernel
+    kernel_fn = {
+        "packed": _attn_kernel_packed,
+        "diag": _attn_kernel_diag,
+        "batched": _attn_kernel_batched,
+    }.get(impl, _attn_kernel)
+    kw = {"mxu_norms": True} if impl == "blockdiag_mxnorm" else {}
     kernel = functools.partial(
-        kernel_fn, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww,
+        kernel_fn, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww, **kw,
     )
+    Ncol = N if impl == "diag" else TN
+    if impl == "batched":
+        Nrow, Ncol = N, N
+    else:
+        Nrow = TN
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(Bp // T,),
-        in_specs=[
-            pl.BlockSpec((TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, 3 * nh * hd_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * nh * hd_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, TN, TN), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh * hd_p, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TN), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TN), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp * N, D), out_dtype),
-        interpret=interpret,
-    )(
+    in_specs = [
+        pl.BlockSpec((TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, 3 * nh * hd_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * nh * hd_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh, Nrow, Ncol), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh * hd_p, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Nrow, Ncol), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Nrow, Ncol), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [
         x2,
         w_packed.astype(out_dtype),
         bq.reshape(1, -1).astype(jnp.float32),
@@ -257,7 +303,33 @@ def _fused_forward(
         (bproj if bproj is not None else jnp.zeros((D,))).reshape(1, D).astype(jnp.float32),
         mrow_big,
         mcol_big,
-    )
+    ]
+    A2 = 2 * nh * hd_p
+    seg = np.arange(A2) // hd_p
+    ones_np = (seg[:, None] == np.arange(2 * nh)[None, :]).astype(np.float32)
+    if impl == "diag":
+        blk_np = np.kron(np.eye(T, dtype=np.float32), np.ones((N, N), np.float32))
+        e_np = np.tile(np.eye(N, dtype=np.float32), (T, 1))
+        in_specs += [
+            pl.BlockSpec((TN, TN), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A2, 2 * nh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [jnp.asarray(blk_np), jnp.asarray(e_np), jnp.asarray(ones_np)]
+    elif impl == "batched":
+        in_specs += [
+            pl.BlockSpec((A2, 2 * nh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [jnp.asarray(ones_np)]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp * N, D), out_dtype),
+        interpret=interpret,
+    )(*operands)
     out = out.reshape(Bp, N, D)
     return out[:B_] if pad_windows else out
 
@@ -565,9 +637,73 @@ def _attn_kernel_packed(
     out_ref[:] = (proj + bproj_ref[0, :]).astype(out_ref.dtype)
 
 
+def _attn_kernel_batched(
+    x_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
+    mrow_ref, mcol_ref, ones_ref, out_ref, *, T, N, D, nh, hd_p, wh, ww,
+):
+    """Per-window BATCHED attention: scores/softmax/AV run as [T, N, N]
+    batched ops — no [TN, TN] tensor exists anywhere, so both the T×
+    redundant MACs of the blockdiag dots and the T× redundant VPU softmax
+    passes (measured 26 ms/layer at 512², the kernel's dominant cost)
+    disappear.  Mosaic lowers the batch dimension of ``dot_general``
+    natively.  ``bias_ref`` is the raw [nh, N, N] bias and
+    ``mrow_ref``/``mcol_ref`` the raw [N, N] masks — no host pre-tiling."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    TN = T * N
+    x = x_ref[:]                                    # [TN, D]
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[0, :]
+
+    if wh and ww:
+        # per-window last-row / last-column gates, [T, 1, 1]
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
+        widx = (i * T + w_iota) % (wh * ww)
+        row_gate = (widx // ww == wh - 1).astype(jnp.float32)
+        col_gate = (widx % ww == ww - 1).astype(jnp.float32)
+        shift_mask = row_gate * mrow_ref[:][None] + col_gate * mcol_ref[:][None]
+    else:
+        shift_mask = None
+
+    # q/k L2 norms via one MXU matmul against block-diagonal ones
+    A2 = 2 * nh * hd_p
+    qk = qkv[:, :A2]
+    sums = jnp.dot(qk * qk, ones_ref[:], preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(sums + 1e-24)
+    mult = jnp.dot(inv, ones_ref[:].T, preferred_element_type=jnp.float32)
+    qk_n = qk * mult
+
+    head_outs = []
+    for h in range(nh):
+        qn = qk_n[:, h * hd_p : (h + 1) * hd_p].reshape(T, N, hd_p)
+        kn = qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
+        v = qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
+        s = jax.lax.dot_general(
+            qn, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )                                            # [T, N, N]
+        s = s * scale_ref[0, h] + bias_ref[h][None]
+        if shift_mask is not None:
+            s = s + shift_mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )                                            # [T, N, hd_p]
+        head_outs.append(o.reshape(TN, hd_p))
+
+    acc = jnp.concatenate(head_outs, axis=-1)       # [TN, nh·hd_p]
+    proj = jnp.dot(
+        acc.astype(wproj_ref.dtype), wproj_ref[:], preferred_element_type=jnp.float32
+    )
+    out_ref[:] = (proj + bproj_ref[0, :]).astype(out_ref.dtype)
+
+
 def _attn_kernel(
     x_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
     mrow_ref, mcol_ref, out_ref, *, T, N, D, nh, hd_p, wh, ww,
+    mxu_norms: bool = False,
 ):
     from jax.experimental import pallas as pl
 
@@ -588,13 +724,30 @@ def _attn_kernel(
     else:
         shift_mask = None
 
+    if mxu_norms:
+        # per-head q/k sum-of-squares as ONE matmul against block-diagonal
+        # ones (the 12 per-head rsqrt chains measured 9 ms/layer at 512²)
+        A2 = 2 * nh * hd_p
+        qk = qkv[:, :A2]
+        seg_r = jax.lax.broadcasted_iota(jnp.int32, (A2, 2 * nh), 0) // hd_p
+        seg_c = jax.lax.broadcasted_iota(jnp.int32, (A2, 2 * nh), 1)
+        ones_bd = (seg_r == seg_c).astype(jnp.float32)
+        sums = jnp.dot(qk * qk, ones_bd, preferred_element_type=jnp.float32)
+        inv = jax.lax.rsqrt(sums + 1e-24)
+        mult = jnp.dot(inv, ones_bd.T, preferred_element_type=jnp.float32)
+        qk_n = qk * mult
+
     head_outs = []
     for h in range(nh):
-        q = qkv[:, (0 * nh + h) * hd_p : (0 * nh + h) * hd_p + hd_p]
-        k = qkv[:, (1 * nh + h) * hd_p : (1 * nh + h) * hd_p + hd_p]
         v = qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p]
-        qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
-        kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
+        if mxu_norms:
+            qn = qk_n[:, h * hd_p : (h + 1) * hd_p]
+            kn = qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p]
+        else:
+            q = qkv[:, (0 * nh + h) * hd_p : (0 * nh + h) * hd_p + hd_p]
+            k = qkv[:, (1 * nh + h) * hd_p : (1 * nh + h) * hd_p + hd_p]
+            qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
+            kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
         s = jnp.dot(qn, kn.T, preferred_element_type=jnp.float32)  # [TN, TN]
         s = s * scale_ref[0, h] + bias_ref[h]
         if shift_mask is not None:
@@ -604,6 +757,85 @@ def _attn_kernel(
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         head_outs.append(
             jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        )
+
+    acc = jnp.concatenate(head_outs, axis=-1)       # [TN, nh·hd_p]
+    proj = jnp.dot(
+        acc.astype(wproj_ref.dtype), wproj_ref[:], preferred_element_type=jnp.float32
+    )
+    out_ref[:] = (proj + bproj_ref[0, :]).astype(out_ref.dtype)
+
+
+def _attn_kernel_diag(
+    x_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
+    mrow_ref, mcol_ref, blk_ref, e_ref, ones_ref, out_ref,
+    *, T, N, D, nh, hd_p, wh, ww,
+):
+    """Blockdiag score dots with DIAGONAL-ONLY softmax: the [TN, TN] score
+    matrix stays on the MXU, but the scale/bias/mask/softmax VPU passes run
+    on the [TN, N] diagonal blocks — T× less VPU work, equal result (the
+    off-diagonal entries are exp(-1e9)=0 in the blockdiag kernel anyway).
+    Extraction and re-embedding of the diagonal blocks are MXU matmuls
+    against E = [I_N; …; I_N] (T stacked identities):
+        s_diag = (s_big ∘ blk) @ E           (picks each row's own window)
+        p_big  = blk ∘ (p_diag @ Eᵀ)         (tiles then masks)
+    — lane-aligned everywhere (a slice-and-concat extraction fails Mosaic's
+    layout inference: "offset mismatch on non-concat dimension").
+
+    ``bias_ref``/``mrow_ref``/``mcol_ref`` are the VERTICAL [·, TN, N] tiles
+    (window-constant along rows), not the [TN, TN] pre-tiles of the other
+    kernels."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    TN = T * N
+    x = x_ref[:]                                    # [TN, D]
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[0, :]
+
+    if wh and ww:
+        tok = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0)
+        widx = (i * T + tok // N) % (wh * ww)
+        row_gate = (widx // ww == wh - 1).astype(jnp.float32)   # [TN, 1]
+        col_gate = (widx % ww == ww - 1).astype(jnp.float32)
+        shift_mask = row_gate * mrow_ref[:] + col_gate * mcol_ref[:]  # [TN, N]
+    else:
+        shift_mask = None
+
+    # host-precomputed constants (in-kernel iota builds of the [TN, TN]
+    # mask measured ~13 ms/layer at 512² — inputs are ~free):
+    blk = blk_ref[:]                                # [TN, TN] blockdiag 0/1
+    E = e_ref[:]                                    # [TN, N] stacked identities
+    ones_bd = ones_ref[:]                           # [2·A_p, 2·nh]
+
+    # q/k L2 norms on the MXU: per-head sum-of-squares as ONE matmul against
+    # a block-diagonal ones matrix (the per-head VPU rsqrt reductions over
+    # hd_p sub-lane segments measured 9 ms/layer at 512² — 2× the qkv cost)
+    A2 = 2 * nh * hd_p
+    qk = qkv[:, :A2]                                # [TN, 2·A_p] q then k
+    sums = jnp.dot(qk * qk, ones_bd, preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(sums + 1e-24)               # [TN, 2·nh]
+    mult = jnp.dot(inv, ones_bd.T, preferred_element_type=jnp.float32)
+    qk_n = qk * mult                                # [TN, 2·A_p] normalised
+
+    head_outs = []
+    for h in range(nh):
+        qn = qk_n[:, h * hd_p : (h + 1) * hd_p]
+        kn = qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p]
+        v = qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p]
+        s_big = jnp.dot(qn, kn.T, preferred_element_type=jnp.float32)  # [TN, TN]
+        s = jnp.dot(s_big * blk, E, preferred_element_type=jnp.float32)  # [TN, N]
+        s = s * scale_ref[0, h] + bias_ref[h]
+        if shift_mask is not None:
+            s = s + shift_mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)   # [TN, N]
+        p_big = blk * jax.lax.dot_general(           # p @ Eᵀ, then mask
+            p, E, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        head_outs.append(
+            jnp.dot(p_big.astype(v.dtype), v, preferred_element_type=jnp.float32)
         )
 
     acc = jnp.concatenate(head_outs, axis=-1)       # [TN, nh·hd_p]
