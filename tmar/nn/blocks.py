@@ -58,6 +58,44 @@ class _MlpParams(nn.Module):
         return (w1, b1), (w2, b2)
 
 
+class _AttnParams(nn.Module):
+    """WindowAttention's exact param tree (logit_scale, RPB table, qkv,
+    proj), returned raw for the fused NSTB kernel."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    head_dim: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        import numpy as np
+
+        from tmar.nn.layers import trunc_normal_init
+        from tmar.nn.window_attention import _DenseParams
+        from tmar.ops.attention import gather_rel_pos_bias, relative_position_index
+
+        attn_dim = self.head_dim * self.num_heads
+        ws = self.window_size
+        logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, float(np.log(10.0)), dtype=jnp.float32),
+            (self.num_heads, 1, 1),
+        )
+        table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init,
+            ((2 * ws - 1) * (2 * ws - 1), self.num_heads),
+            jnp.float32,
+        )
+        rel_idx = relative_position_index(ws, ws)
+        bias = gather_rel_pos_bias(table, rel_idx, self.num_heads)
+        wqkv, bqkv = _DenseParams(attn_dim * 3, use_bias=self.qkv_bias, name="qkv")(self.dim)
+        wproj, bproj = _DenseParams(self.dim, name="proj")(attn_dim)
+        return wqkv, bqkv, logit_scale, bias, wproj, bproj
+
+
 class NSTB(nn.Module):
     dim: int
     ngram: int
@@ -87,6 +125,17 @@ class NSTB(nn.Module):
         assert p == ph * pw, "token count does not match patch grid"
 
         x_in = x
+        if (
+            self.use_pallas
+            and self.drop_path == 0.0
+            and self.drop == 0.0
+            and self.attn_drop == 0.0
+        ):
+            import os
+
+            if os.environ.get("TMAR_NSTB_FUSED", "1") != "0":
+                return x_in, self._fused(x, num_patches, deterministic)
+
         attn_out = self._attention(x, num_patches, deterministic)
 
         if self.use_pallas and self.drop_path == 0.0 and self.drop == 0.0:
@@ -127,6 +176,85 @@ class NSTB(nn.Module):
             layer_norm(self.dtype, name="norm2")(ffn_out), deterministic
         )
         return x_in, x
+
+    def _fused(self, x, num_patches, deterministic):
+        """One Pallas call for the whole block (tmar.ops.pallas_nstb):
+        quadrant context add + window attention + post-norm residual FFN.
+        Same parameter tree as the unfused path; equivalence-tested."""
+        import jax as _jax
+
+        from tmar.ops.pallas_nstb import (
+            context_quads,
+            fused_nstb,
+            quadrant_selector,
+        )
+
+        ph, pw = num_patches
+        B, p, D = x.shape
+        ws = self.window_size
+        head_dim = self.head_dim or self.dim // self.num_heads
+        interpret = self.pallas_interpret or _jax.default_backend() == "cpu"
+
+        xg = x.reshape(B, ph, pw, D)
+        windows, (wh, ww), ctx = NGramWindowPartition(
+            dim=self.dim,
+            window_size=ws,
+            ngram=self.ngram,
+            ngram_num_heads=self.num_heads,
+            shift_size=self.shift_size,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
+            xla_window_merge=self.xla_window_merge,
+            return_context=True,
+            name="ngram_window_partition",
+        )(xg, deterministic=deterministic)
+
+        tokens = windows.reshape(-1, ws * ws, D).astype(self.dtype)
+        cq = context_quads(ctx, self.shift_size).reshape(-1, 4, D)
+        sel = quadrant_selector(ws, self.shift_size)
+
+        mask_components = None
+        if self.shift_size > 0:
+            m_row, m_col = shift_mask_components(ws, self.shift_size)
+            mask_components = (m_row, m_col, wh, ww)
+
+        wqkv, bqkv, logit_scale, bias, wproj, bproj = _AttnParams(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=ws,
+            head_dim=head_dim,
+            qkv_bias=self.qkv_bias,
+            name="attn",
+        )()
+        g1 = _LNParams(self.dim, name="norm1")()
+        hidden = int(self.dim * self.mlp_ratio)
+        (w1, bw1), (w2, bw2) = _MlpParams(self.dim, hidden, name="ffn")()
+        g2 = _LNParams(self.dim, name="norm2")()
+
+        z = fused_nstb(
+            tokens,
+            cq.astype(self.dtype),
+            sel,
+            wqkv.astype(self.dtype),
+            None if bqkv is None else bqkv.astype(self.dtype),
+            logit_scale,
+            bias,
+            wproj.astype(self.dtype),
+            None if bproj is None else bproj.astype(self.dtype),
+            g1,
+            (w1.astype(self.dtype), bw1),
+            (w2.astype(self.dtype), bw2),
+            g2,
+            num_heads=self.num_heads,
+            mask_components=mask_components,
+            interpret=interpret,
+        )
+
+        z = z.reshape(-1, ws, ws, D)
+        shifted = window_unpartition(z, (wh, ww))
+        out = reverse_cyclic_shift(shifted, self.shift_size)
+        return out.reshape(B, ph * pw, D)
 
     def _attention(self, x, num_patches, deterministic):
         ph, pw = num_patches

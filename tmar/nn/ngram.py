@@ -143,9 +143,15 @@ class NGramWindowPartition(nn.Module):
     pallas_interpret: bool = False
     xla_window_merge: bool = False
 
+    return_context: bool = False
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, Tuple[int, int]]:
-        """x: [B, ph, pw, D] -> ([B*wh*ww, ws, ws, D], (wh, ww))."""
+        """x: [B, ph, pw, D] -> ([B*wh*ww, ws, ws, D], (wh, ww)).
+
+        With ``return_context=True`` the context is NOT added: returns
+        (windows of roll(x), (wh, ww), context [B, wh, ww, D]) so a fused
+        kernel can inject it per quadrant (tmar.ops.pallas_nstb)."""
         B, ph, pw, D = x.shape
         ws = self.window_size
         wh, ww = ph // ws, pw // ws
@@ -162,6 +168,11 @@ class NGramWindowPartition(nn.Module):
             xla_window_merge=self.xla_window_merge,
             name="ngram_context",
         )(x, deterministic=deterministic)  # [B, wh, ww, D]
+
+        if self.return_context:
+            shifted = cyclic_shift(x, self.shift_size)
+            windows, num_windows = window_partition(shifted, ws)
+            return windows, num_windows, context
 
         # Inject context into each window, then (optionally) cyclic-shift.
         xw = x.reshape(B, wh, ws, ww, ws, D)

@@ -1,0 +1,341 @@
+"""Fused NSTB kernel: n-gram context add + cosine window attention +
+post-norm residual FFN in ONE Pallas call.
+
+Replaces three HBM round trips of the unfused pipeline (reference
+models/generator/components/transformer_blocks.py:83-120): the XLA
+context broadcast-add, the attention output, and the FFN kernel's re-read
+of x.  Inputs are windows of the *rolled, context-free* feature map plus a
+per-window stack of the 4 neighbouring windows' contexts:
+
+  The reference adds the n-gram context per window BEFORE the cyclic
+  shift (window_utils.py:132-143), so after rolling by s each shifted
+  window covers a 2×2 neighbourhood of pre-shift windows and the context
+  is constant per QUADRANT.  A static [N, 4] quadrant selector (token
+  (r, c) -> quadrant (r >= ws-s, c >= ws-s)) recovers the per-token
+  context as one tiny batched matmul:  ctx_tok = sel @ ctx_quads[t].
+
+Then (identical math to the unfused path, tests assert equivalence):
+
+  x_attn = x + ctx_tok
+  a      = window_attention(x_attn)          # per-window batched, no [TN,TN]
+  y      = x + LN1(a)                        # residual uses x WITHOUT ctx
+  z      = y + LN2(fc2(gelu(fc1(y))))
+
+Backward: custom VJP recomputing through the pure-XLA math (training uses
+the XLA path anyway — PERF.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmar.ops.attention import LOGIT_SCALE_MAX, window_attention_math
+from tmar.ops.pallas_ffn import _gelu_exact, ffn_math
+
+
+def quadrant_selector(window_size: int, shift_size: int) -> np.ndarray:
+    """[N, 4] one-hot: token (r, c) -> which of the 4 pre-shift windows
+    (own / right / down / down-right) its context comes from after a roll
+    by ``shift_size``.  shift 0 -> everything quadrant 0."""
+    ws = window_size
+    sel = np.zeros((ws * ws, 4), np.float32)
+    for r in range(ws):
+        for c in range(ws):
+            qr = 1 if (shift_size > 0 and r >= ws - shift_size) else 0
+            qc = 1 if (shift_size > 0 and c >= ws - shift_size) else 0
+            sel[r * ws + c, 2 * qr + qc] = 1.0
+    return sel
+
+
+def context_quads(ctx: jnp.ndarray, shift_size: int) -> jnp.ndarray:
+    """ctx [B, wh, ww, D] -> [B, wh, ww, 4, D]: each window's own context
+    and its right / down / down-right neighbours (cyclic, matching
+    torch.roll(-shift) wraparound).  For shift 0 the selector only ever
+    reads slot 0, the other slots are don't-care."""
+    if shift_size == 0:
+        return jnp.broadcast_to(ctx[:, :, :, None, :], ctx.shape[:3] + (4,) + ctx.shape[-1:])
+    right = jnp.roll(ctx, -1, axis=2)
+    down = jnp.roll(ctx, -1, axis=1)
+    downright = jnp.roll(down, -1, axis=2)
+    return jnp.stack([ctx, right, down, downright], axis=3)
+
+
+def nstb_math(
+    x, ctx_quads, sel,
+    wqkv, bqkv, logit_scale, bias, wproj, bproj,
+    g1, b1, w1, bw1, w2, bw2, g2, b2,
+    num_heads, mask_components=None, eps=1e-5,
+):
+    """Pure-XLA reference of the fused kernel (used by the custom VJP)."""
+    B_, N, D = x.shape
+    ctx_tok = jnp.einsum("nq,bqd->bnd", sel, ctx_quads.astype(jnp.float32))
+    x_attn = (x.astype(jnp.float32) + ctx_tok).astype(x.dtype)
+    a = window_attention_math(
+        x_attn, wqkv, bqkv, logit_scale, bias, wproj, bproj,
+        num_heads=num_heads, mask_components=mask_components,
+    )
+    z = ffn_math(
+        x.reshape(B_ * N, D), a.reshape(B_ * N, D).astype(x.dtype),
+        g1, b1, w1, bw1, w2, bw2, g2, b2, eps=eps,
+    )
+    return z.reshape(B_, N, D)
+
+
+def fused_nstb(
+    x: jnp.ndarray,
+    ctx_quads: jnp.ndarray,
+    sel: np.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: Optional[jnp.ndarray],
+    logit_scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    wproj: jnp.ndarray,
+    bproj: Optional[jnp.ndarray],
+    ln1: Tuple[jnp.ndarray, jnp.ndarray],
+    ffn1: Tuple[jnp.ndarray, jnp.ndarray],
+    ffn2: Tuple[jnp.ndarray, jnp.ndarray],
+    ln2: Tuple[jnp.ndarray, jnp.ndarray],
+    num_heads: int,
+    mask_components: Optional[Tuple] = None,
+    windows_per_step: Optional[int] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x: [B_, N, D] context-free rolled windows; ctx_quads: [B_, 4, D].
+
+    Returns z [B_, N, D] (the full NSTB output, still in rolled window
+    space — roll/partition commute with all per-token ops)."""
+    N = x.shape[1]
+    D = x.shape[2]
+    if windows_per_step is None:
+        windows_per_step = max(1, 2048 // N)
+    T = windows_per_step
+    g1, bb1 = ln1
+    w1, bw1 = ffn1
+    w2, bw2 = ffn2
+    g2, bb2 = ln2
+    has_bqkv = bqkv is not None
+    has_bproj = bproj is not None
+    zeros_b3 = jnp.zeros((wqkv.shape[1],), x.dtype)
+    zeros_bp = jnp.zeros((wproj.shape[1],), x.dtype)
+
+    @jax.custom_vjp
+    def op(x, ctx_quads, wqkv, bqkv, logit_scale, bias, wproj, bproj,
+           g1, bb1, w1, bw1, w2, bw2, g2, bb2):
+        return _forward(
+            x, ctx_quads, sel, wqkv, bqkv if has_bqkv else None, logit_scale,
+            bias, wproj, bproj if has_bproj else None,
+            g1, bb1, w1, bw1, w2, bw2, g2, bb2,
+            num_heads=num_heads, mask_components=mask_components,
+            T=T, eps=eps, interpret=interpret,
+        )
+
+    def op_fwd(*a):
+        return op(*a), a
+
+    def op_bwd(res, g):
+        x = res[0]
+        _, vjp = jax.vjp(
+            lambda xx, cq, wq, bq, ls, bi, wp, bp, g1, bb1, w1, bw1, w2, bw2, g2, bb2:
+                nstb_math(
+                    xx, cq, jnp.asarray(sel), wq, bq, ls, bi, wp, bp,
+                    g1, bb1, w1, bw1, w2, bw2, g2, bb2,
+                    num_heads=num_heads, mask_components=mask_components, eps=eps,
+                ),
+            *res,
+        )
+        return vjp(g.astype(x.dtype))
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(
+        x, ctx_quads, wqkv, bqkv if has_bqkv else zeros_b3, logit_scale, bias,
+        wproj, bproj if has_bproj else zeros_bp,
+        g1, bb1, w1, bw1, w2, bw2, g2, bb2,
+    )
+
+
+def _forward(
+    x, ctx_quads, sel, wqkv, bqkv, logit_scale, bias, wproj, bproj,
+    g1, bb1, w1, bw1, w2, bw2, g2, bb2,
+    *, num_heads, mask_components, T, eps, interpret,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tmar.ops.pallas_attention import _pack_params, _round_up
+
+    B_, N, D = x.shape
+    A3 = wqkv.shape[1]
+    A = A3 // 3
+    nh = num_heads
+    hd = A // nh
+    hd_p = max(_round_up(hd, 8), 8)
+    H = w1.shape[1]
+    TN = T * N
+
+    out_dtype = x.dtype
+    w_packed, bq, wp, scale_vec = _pack_params(
+        wqkv, bqkv, logit_scale, wproj, nh, hd, hd_p, out_dtype
+    )
+
+    bias_f = bias.astype(jnp.float32)                # [nh, N, N]
+    if mask_components is not None:
+        m_row, m_col, wh, ww = mask_components
+        mrow = jnp.asarray(m_row, jnp.float32)
+        mcol = jnp.asarray(m_col, jnp.float32)
+    else:
+        wh = ww = 0
+        mrow = jnp.zeros((N, N), jnp.float32)
+        mcol = jnp.zeros((N, N), jnp.float32)
+
+    A2 = 2 * nh * hd_p
+    seg = np.arange(A2) // hd_p
+    ones_np = (seg[:, None] == np.arange(2 * nh)[None, :]).astype(np.float32)
+
+    pad_windows = (-B_) % T
+    if pad_windows:
+        x = jnp.concatenate([x, jnp.zeros((pad_windows, N, D), x.dtype)])
+        ctx_quads = jnp.concatenate(
+            [ctx_quads, jnp.zeros((pad_windows, 4, D), ctx_quads.dtype)]
+        )
+    Bp = x.shape[0]
+    x2 = x.reshape(Bp * N, D)
+    cq2 = ctx_quads.reshape(Bp * 4, D)
+
+    kernel = functools.partial(
+        _nstb_kernel, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww, H=H, eps=eps,
+    )
+    c0 = lambda i: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // T,),
+        in_specs=[
+            pl.BlockSpec((TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T * 4, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 4), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * nh * hd_p), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * nh * hd_p), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, N, N), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh * hd_p, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((A2, 2 * nh), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp * N, D), out_dtype),
+        interpret=interpret,
+    )(
+        x2,
+        cq2.astype(out_dtype),
+        jnp.asarray(sel),
+        w_packed.astype(out_dtype),
+        bq.reshape(1, -1).astype(jnp.float32),
+        scale_vec.reshape(1, nh),
+        bias_f,
+        wp.astype(out_dtype),
+        (bproj if bproj is not None else jnp.zeros((D,))).reshape(1, D).astype(jnp.float32),
+        mrow,
+        mcol,
+        jnp.asarray(ones_np),
+        g1.reshape(1, D).astype(jnp.float32),
+        bb1.reshape(1, D).astype(jnp.float32),
+        w1.astype(out_dtype),
+        bw1.reshape(1, H).astype(jnp.float32),
+        w2.astype(out_dtype),
+        bw2.reshape(1, D).astype(jnp.float32),
+        g2.reshape(1, D).astype(jnp.float32),
+        bb2.reshape(1, D).astype(jnp.float32),
+    )
+    out = out.reshape(Bp, N, D)
+    return out[:B_] if pad_windows else out
+
+
+def _nstb_kernel(
+    x_ref, cq_ref, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
+    wproj_ref, bproj_ref, mrow_ref, mcol_ref, ones_ref,
+    g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
+    out_ref, *, T, N, D, nh, hd_p, wh, ww, H, eps,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    TN = T * N
+    x = x_ref[:]                                    # [TN, D] context-free
+    # per-token context from the quadrant stack: sel [N,4] @ cq [T,4,D]
+    cq = cq_ref[:].reshape(T, 4, D)
+    sel3 = jnp.broadcast_to(sel_ref[:][None], (T, N, 4))
+    ctx_tok = jax.lax.dot_general(
+        sel3, cq, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).reshape(TN, D)                                # [TN, D] f32
+    x_attn = (x.astype(jnp.float32) + ctx_tok).astype(x.dtype)
+
+    qkv = jnp.dot(x_attn, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[0, :]
+
+    if wh and ww:
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
+        widx = (i * T + w_iota) % (wh * ww)
+        row_gate = (widx // ww == wh - 1).astype(jnp.float32)
+        col_gate = (widx % ww == ww - 1).astype(jnp.float32)
+        shift_mask = row_gate * mrow_ref[:][None] + col_gate * mcol_ref[:][None]
+    else:
+        shift_mask = None
+
+    A2 = 2 * nh * hd_p
+    qk = qkv[:, :A2]
+    sums = jnp.dot(qk * qk, ones_ref[:], preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(sums + 1e-24)
+    mult = jnp.dot(inv, ones_ref[:].T, preferred_element_type=jnp.float32)
+    qk_n = qk * mult
+
+    head_outs = []
+    for h in range(nh):
+        qn = qk_n[:, h * hd_p : (h + 1) * hd_p].reshape(T, N, hd_p)
+        kn = qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
+        v = qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
+        s = jax.lax.dot_general(
+            qn, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s * scale_ref[0, h] + bias_ref[h][None]
+        if shift_mask is not None:
+            s = s + shift_mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        head_outs.append(o.reshape(TN, hd_p))
+
+    acc = jnp.concatenate(head_outs, axis=-1)
+    a = jnp.dot(
+        acc.astype(wproj_ref.dtype), wproj_ref[:], preferred_element_type=jnp.float32
+    ) + bproj_ref[0, :]                             # [TN, D] f32 attn out
+
+    # post-norm residual FFN (identical math to tmar.ops.pallas_ffn)
+    def ln(v32, g_ref, b_ref):
+        mu = jnp.mean(v32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(v32 - mu), axis=-1, keepdims=True)
+        return (v32 - mu) * jax.lax.rsqrt(var + eps) * g_ref[0, :] + b_ref[0, :]
+
+    y = x.astype(jnp.float32) + ln(a, g1_ref, b1_ref)
+    h1 = jnp.dot(y.astype(w1_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = _gelu_exact(h1 + bw1_ref[0, :])
+    o2 = jnp.dot(h1.astype(w2_ref.dtype), w2_ref[:], preferred_element_type=jnp.float32)
+    z = y + ln(o2 + bw2_ref[0, :], g2_ref, b2_ref)
+    out_ref[:] = z.astype(out_ref.dtype)
