@@ -73,7 +73,9 @@ def fused_window_attention(
     if impl is None:
         # per-window batched ops for full-size windows (no [TN, TN] tensors);
         # blockdiag for the tiny n-gram windows (N=4), where merging T
-        # windows into one dot IS the MXU shaping (see _attn_kernel_batched)
+        # windows into one dot IS the MXU shaping (the diag E-extraction
+        # variant measured WORSE there — its [TN, 4]-lane dots starve the
+        # MXU)
         auto = "batched" if x.shape[1] >= 32 else "blockdiag"
         impl = os.environ.get("TMAR_ATTN_IMPL", auto)
     if windows_per_step is None:
