@@ -61,8 +61,9 @@ def test_context_quads_matches_preadd_shift():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref_win), atol=1e-6)
 
 
+@pytest.mark.parametrize("mapmode", ["0", "1"])
 @pytest.mark.parametrize("shift", [0, 4])
-def test_fused_nstb_matches_unfused(monkeypatch, shift):
+def test_fused_nstb_matches_unfused(monkeypatch, shift, mapmode):
     rng = np.random.default_rng(1)
     B, ph, pw, D = 2, 16, 24, 8
     blk = NSTB(dim=D, ngram=2, num_heads=2, window_size=8, shift_size=shift,
@@ -71,6 +72,7 @@ def test_fused_nstb_matches_unfused(monkeypatch, shift):
     params = blk.init(jax.random.PRNGKey(0), x, (ph, pw))["params"]
 
     monkeypatch.setenv("TMAR_NSTB_FUSED", "1")
+    monkeypatch.setenv("TMAR_NSTB_MAP", mapmode)
     _, fused = blk.apply({"params": params}, x, (ph, pw))
     monkeypatch.setenv("TMAR_NSTB_FUSED", "0")
     _, unfused = blk.apply({"params": params}, x, (ph, pw))

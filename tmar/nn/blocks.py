@@ -195,6 +195,10 @@ class NSTB(nn.Module):
         head_dim = self.head_dim or self.dim // self.num_heads
         interpret = self.pallas_interpret or _jax.default_backend() == "cpu"
 
+        import os
+
+        use_map = os.environ.get("TMAR_NSTB_MAP", "1") != "0"
+
         xg = x.reshape(B, ph, pw, D)
         windows, (wh, ww), ctx = NGramWindowPartition(
             dim=self.dim,
@@ -206,11 +210,13 @@ class NSTB(nn.Module):
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
             xla_window_merge=self.xla_window_merge,
-            return_context=True,
+            return_context="map" if use_map else True,
             name="ngram_window_partition",
         )(xg, deterministic=deterministic)
+        # map mode: ``windows`` is the rolled [B, ph, pw, D] map itself
 
-        tokens = windows.reshape(-1, ws * ws, D).astype(self.dtype)
+        if not use_map:
+            tokens = windows.reshape(-1, ws * ws, D).astype(self.dtype)
         cq = context_quads(ctx, self.shift_size).reshape(-1, 4, D)
         sel = quadrant_selector(ws, self.shift_size)
 
@@ -232,8 +238,12 @@ class NSTB(nn.Module):
         (w1, bw1), (w2, bw2) = _MlpParams(self.dim, hidden, name="ffn")()
         g2 = _LNParams(self.dim, name="norm2")()
 
-        z = fused_nstb(
-            tokens,
+        common = dict(
+            num_heads=self.num_heads,
+            mask_components=mask_components,
+            interpret=interpret,
+        )
+        args = (
             cq.astype(self.dtype),
             sel,
             wqkv.astype(self.dtype),
@@ -246,11 +256,18 @@ class NSTB(nn.Module):
             (w1.astype(self.dtype), bw1),
             (w2.astype(self.dtype), bw2),
             g2,
-            num_heads=self.num_heads,
-            mask_components=mask_components,
-            interpret=interpret,
         )
 
+        if use_map:
+            from tmar.ops.pallas_nstb import fused_nstb_map
+
+            zmap = fused_nstb_map(
+                windows.astype(self.dtype), *args, window_size=ws, **common
+            )
+            out = reverse_cyclic_shift(zmap, self.shift_size)
+            return out.reshape(B, ph * pw, D)
+
+        z = fused_nstb(tokens, *args, **common)
         z = z.reshape(-1, ws, ws, D)
         shifted = window_unpartition(z, (wh, ww))
         out = reverse_cyclic_shift(shifted, self.shift_size)

@@ -169,6 +169,10 @@ class NGramWindowPartition(nn.Module):
             name="ngram_context",
         )(x, deterministic=deterministic)  # [B, wh, ww, D]
 
+        if self.return_context == "map":
+            # map-level fused path: rolled map + raw context, no partition
+            return cyclic_shift(x, self.shift_size), (wh, ww), context
+
         if self.return_context:
             shifted = cyclic_shift(x, self.shift_size)
             windows, num_windows = window_partition(shifted, ws)

@@ -265,19 +265,16 @@ def _forward(
     return out[:B_] if pad_windows else out
 
 
-def _nstb_kernel(
-    x_ref, cq_ref, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
-    wproj_ref, bproj_ref, mrow_ref, mcol_ref, ones_ref,
+def _nstb_body(
+    x, cq, shift_mask, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
+    wproj_ref, bproj_ref, ones_ref,
     g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
-    out_ref, *, T, N, D, nh, hd_p, wh, ww, H, eps,
+    *, T, N, D, nh, hd_p, eps,
 ):
-    from jax.experimental import pallas as pl
-
-    i = pl.program_id(0)
+    """Shared NSTB compute: x [TN, D] context-free window tokens,
+    cq [T, 4, D] context quads, shift_mask [T, N, N] or None -> z [TN, D]."""
     TN = T * N
-    x = x_ref[:]                                    # [TN, D] context-free
     # per-token context from the quadrant stack: sel [N,4] @ cq [T,4,D]
-    cq = cq_ref[:].reshape(T, 4, D)
     sel3 = jnp.broadcast_to(sel_ref[:][None], (T, N, 4))
     ctx_tok = jax.lax.dot_general(
         sel3, cq, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -286,15 +283,6 @@ def _nstb_kernel(
 
     qkv = jnp.dot(x_attn, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[0, :]
-
-    if wh and ww:
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
-        widx = (i * T + w_iota) % (wh * ww)
-        row_gate = (widx // ww == wh - 1).astype(jnp.float32)
-        col_gate = (widx % ww == ww - 1).astype(jnp.float32)
-        shift_mask = row_gate * mrow_ref[:][None] + col_gate * mcol_ref[:][None]
-    else:
-        shift_mask = None
 
     A2 = 2 * nh * hd_p
     qk = qkv[:, :A2]
@@ -337,5 +325,273 @@ def _nstb_kernel(
     h1 = jnp.dot(y.astype(w1_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32)
     h1 = _gelu_exact(h1 + bw1_ref[0, :])
     o2 = jnp.dot(h1.astype(w2_ref.dtype), w2_ref[:], preferred_element_type=jnp.float32)
-    z = y + ln(o2 + bw2_ref[0, :], g2_ref, b2_ref)
+    return y + ln(o2 + bw2_ref[0, :], g2_ref, b2_ref)
+
+
+def _nstb_kernel(
+    x_ref, cq_ref, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
+    wproj_ref, bproj_ref, mrow_ref, mcol_ref, ones_ref,
+    g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
+    out_ref, *, T, N, D, nh, hd_p, wh, ww, H, eps,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    TN = T * N
+    x = x_ref[:]                                    # [TN, D] context-free
+    cq = cq_ref[:].reshape(T, 4, D)
+
+    if wh and ww:
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
+        widx = (i * T + w_iota) % (wh * ww)
+        row_gate = (widx // ww == wh - 1).astype(jnp.float32)
+        col_gate = (widx % ww == ww - 1).astype(jnp.float32)
+        shift_mask = row_gate * mrow_ref[:][None] + col_gate * mcol_ref[:][None]
+    else:
+        shift_mask = None
+
+    z = _nstb_body(
+        x, cq, shift_mask, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
+        wproj_ref, bproj_ref, ones_ref,
+        g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
+        T=T, N=N, D=D, nh=nh, hd_p=hd_p, eps=eps,
+    )
     out_ref[:] = z.astype(out_ref.dtype)
+
+
+def fused_nstb_map(
+    xmap: jnp.ndarray,
+    ctx_quads: jnp.ndarray,
+    sel: np.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: Optional[jnp.ndarray],
+    logit_scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    wproj: jnp.ndarray,
+    bproj: Optional[jnp.ndarray],
+    ln1: Tuple[jnp.ndarray, jnp.ndarray],
+    ffn1: Tuple[jnp.ndarray, jnp.ndarray],
+    ffn2: Tuple[jnp.ndarray, jnp.ndarray],
+    ln2: Tuple[jnp.ndarray, jnp.ndarray],
+    num_heads: int,
+    window_size: int,
+    mask_components: Optional[Tuple] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Map-level fused NSTB: xmap is the *rolled, context-free* feature map
+    [B, ph, pw, D]; window partition/unpartition happen IN-KERNEL (row-dim
+    reshape+transpose), so the HBM layout copies of the token-level path
+    disappear.  ctx_quads: [B*wh*ww, 4, D] in window row-major order.
+    Returns the block output as a map [B, ph, pw, D] (still rolled)."""
+    B, ph, pw, D = xmap.shape
+    ws = window_size
+    wh, ww = ph // ws, pw // ws
+    # stripes: split each window-row so one grid step holds <= 32 windows
+    S = 1
+    while ww // S > 32 or ww % S:
+        S += 1
+        if S > ww:
+            S = ww
+            break
+    Tw = ww // S                      # windows per grid step
+    N = ws * ws
+
+    g1, bb1 = ln1
+    w1, bw1 = ffn1
+    w2, bw2 = ffn2
+    g2, bb2 = ln2
+    has_bqkv = bqkv is not None
+    has_bproj = bproj is not None
+    zeros_b3 = jnp.zeros((wqkv.shape[1],), xmap.dtype)
+    zeros_bp = jnp.zeros((wproj.shape[1],), xmap.dtype)
+
+    @jax.custom_vjp
+    def op(xmap, ctx_quads, wqkv, bqkv, logit_scale, bias, wproj, bproj,
+           g1, bb1, w1, bw1, w2, bw2, g2, bb2):
+        return _forward_map(
+            xmap, ctx_quads, sel, wqkv, bqkv if has_bqkv else None,
+            logit_scale, bias, wproj, bproj if has_bproj else None,
+            g1, bb1, w1, bw1, w2, bw2, g2, bb2,
+            num_heads=num_heads, mask_components=mask_components,
+            ws=ws, S=S, eps=eps, interpret=interpret,
+        )
+
+    def op_fwd(*a):
+        return op(*a), a
+
+    def op_bwd(res, g):
+        xm = res[0]
+
+        def math_fn(xm, cq, wq, bq, ls, bi, wp, bp, g1, bb1, w1, bw1, w2, bw2, g2, bb2):
+            from tmar.ops.window import window_partition, window_unpartition
+
+            wins, _ = window_partition(xm, ws)
+            toks = wins.reshape(-1, N, D)
+            z = nstb_math(
+                toks, cq, jnp.asarray(sel), wq, bq, ls, bi, wp, bp,
+                g1, bb1, w1, bw1, w2, bw2, g2, bb2,
+                num_heads=num_heads, mask_components=mask_components, eps=eps,
+            )
+            return window_unpartition(z.reshape(-1, ws, ws, D), (wh, ww))
+
+        _, vjp = jax.vjp(math_fn, *res)
+        return vjp(g.astype(xm.dtype))
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(
+        xmap, ctx_quads, wqkv, bqkv if has_bqkv else zeros_b3, logit_scale,
+        bias, wproj, bproj if has_bproj else zeros_bp,
+        g1, bb1, w1, bw1, w2, bw2, g2, bb2,
+    )
+
+
+def _forward_map(
+    xmap, ctx_quads, sel, wqkv, bqkv, logit_scale, bias, wproj, bproj,
+    g1, bb1, w1, bw1, w2, bw2, g2, bb2,
+    *, num_heads, mask_components, ws, S, eps, interpret,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tmar.ops.pallas_attention import _pack_params, _round_up
+
+    B, ph, pw, D = xmap.shape
+    wh, ww = ph // ws, pw // ws
+    Tw = ww // S
+    N = ws * ws
+    A3 = wqkv.shape[1]
+    A = A3 // 3
+    nh = num_heads
+    hd = A // nh
+    hd_p = max(_round_up(hd, 8), 8)
+    H = w1.shape[1]
+
+    out_dtype = xmap.dtype
+    w_packed, bq, wp, scale_vec = _pack_params(
+        wqkv, bqkv, logit_scale, wproj, nh, hd, hd_p, out_dtype
+    )
+
+    bias_f = bias.astype(jnp.float32)
+    if mask_components is not None:
+        m_row, m_col, _, _ = mask_components
+        mrow = jnp.asarray(m_row, jnp.float32)
+        mcol = jnp.asarray(m_col, jnp.float32)
+        masked = 1
+    else:
+        masked = 0
+        mrow = jnp.zeros((N, N), jnp.float32)
+        mcol = jnp.zeros((N, N), jnp.float32)
+
+    A2 = 2 * nh * hd_p
+    seg = np.arange(A2) // hd_p
+    ones_np = (seg[:, None] == np.arange(2 * nh)[None, :]).astype(np.float32)
+
+    cq2 = ctx_quads.reshape(B * wh * ww * 4, D)
+
+    kernel = functools.partial(
+        _nstb_map_kernel, T=Tw, N=N, D=D, nh=nh, hd_p=hd_p,
+        wh=wh, ww=ww, ws=ws, H=H, eps=eps, masked=masked,
+    )
+    c0 = lambda *i: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, wh, S),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ws, Tw * ws, D), lambda b, i, j: (b, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (Tw * 4, D),
+                lambda b, i, j: ((b * wh + i) * S + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((N, 4), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * nh * hd_p), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * nh * hd_p), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, N, N), lambda b, i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh * hd_p, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((A2, 2 * nh), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ws, Tw * ws, D), lambda b, i, j: (b, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, ph, pw, D), out_dtype),
+        interpret=interpret,
+    )(
+        xmap,
+        cq2.astype(out_dtype),
+        jnp.asarray(sel),
+        w_packed.astype(out_dtype),
+        bq.reshape(1, -1).astype(jnp.float32),
+        scale_vec.reshape(1, nh),
+        bias_f,
+        wp.astype(out_dtype),
+        (bproj if bproj is not None else jnp.zeros((D,))).reshape(1, D).astype(jnp.float32),
+        mrow,
+        mcol,
+        jnp.asarray(ones_np),
+        g1.reshape(1, D).astype(jnp.float32),
+        bb1.reshape(1, D).astype(jnp.float32),
+        w1.astype(out_dtype),
+        bw1.reshape(1, H).astype(jnp.float32),
+        w2.astype(out_dtype),
+        bw2.reshape(1, D).astype(jnp.float32),
+        g2.reshape(1, D).astype(jnp.float32),
+        bb2.reshape(1, D).astype(jnp.float32),
+    )
+    return out
+
+
+def _nstb_map_kernel(
+    x_ref, cq_ref, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
+    wproj_ref, bproj_ref, mrow_ref, mcol_ref, ones_ref,
+    g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
+    out_ref, *, T, N, D, nh, hd_p, wh, ww, ws, H, eps, masked,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(1)              # window row
+    j = pl.program_id(2)              # stripe within the row
+    TN = T * N
+
+    # in-kernel window partition: [ws, T*ws, D] -> [T windows, ws*ws, D]
+    stripe = x_ref[0]                                  # [ws, T*ws, D]
+    tw = stripe.reshape(ws, T, ws, D)
+    tokens = jnp.transpose(tw, (1, 0, 2, 3)).reshape(TN, D)
+    cq = cq_ref[:].reshape(T, 4, D)
+
+    if masked:
+        # window (i, j*T + t) of the (wh, ww) grid — no wraparound, the
+        # grid covers exactly the window grid
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
+        wcol = j * T + w_iota
+        row_gate = (i == wh - 1).astype(jnp.float32)          # traced scalar
+        col_gate = (wcol == ww - 1).astype(jnp.float32)       # [T, 1, 1]
+        shift_mask = row_gate * mrow_ref[:][None] + col_gate * mcol_ref[:][None]
+    else:
+        shift_mask = None
+
+    z = _nstb_body(
+        tokens, cq, shift_mask, sel_ref, wqkv_ref, bqkv_ref, scale_ref,
+        bias_ref, wproj_ref, bproj_ref, ones_ref,
+        g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
+        T=T, N=N, D=D, nh=nh, hd_p=hd_p, eps=eps,
+    )
+    # inverse: [TN, D] -> [ws, T*ws, D]
+    zz = z.reshape(T, ws, ws, D)
+    out_ref[0] = jnp.transpose(zz, (1, 0, 2, 3)).reshape(ws, T * ws, D).astype(out_ref.dtype)
