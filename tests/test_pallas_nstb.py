@@ -81,13 +81,15 @@ def test_fused_nstb_matches_unfused(monkeypatch, shift, mapmode):
     )
 
 
-def test_fused_nstb_grad_matches(monkeypatch):
+@pytest.mark.parametrize("mapmode", ["0", "1"])
+def test_fused_nstb_grad_matches(monkeypatch, mapmode):
     rng = np.random.default_rng(2)
     B, ph, pw, D = 1, 16, 16, 8
     blk = NSTB(dim=D, ngram=2, num_heads=2, window_size=8, shift_size=4,
                use_pallas=True, pallas_interpret=True)
     x = jnp.asarray(rng.normal(size=(B, ph * pw, D)).astype(np.float32))
     params = blk.init(jax.random.PRNGKey(0), x, (ph, pw))["params"]
+    monkeypatch.setenv("TMAR_NSTB_MAP", mapmode)
 
     def loss(p, xx, fused):
         monkeypatch.setenv("TMAR_NSTB_FUSED", "1" if fused else "0")

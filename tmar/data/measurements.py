@@ -25,7 +25,11 @@ def show_first_result(
     if not os.path.isdir(results_dir):
         print(f"No results directory: {results_dir}")
         return None
-    files = sorted(f for f in os.listdir(results_dir) if f.lower().endswith(exts))
+    files = sorted(
+        f
+        for f in os.listdir(results_dir)
+        if f.lower().endswith(exts) and f != "_first_result_view.png"
+    )
     if not files:
         print(f"No results found in {results_dir}.")
         return None

@@ -70,30 +70,14 @@ class _AttnParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        import numpy as np
-
-        from tmar.nn.layers import trunc_normal_init
-        from tmar.nn.window_attention import _DenseParams
-        from tmar.ops.attention import gather_rel_pos_bias, relative_position_index
+        from tmar.nn.window_attention import declare_attention_params
 
         attn_dim = self.head_dim * self.num_heads
         ws = self.window_size
-        logit_scale = self.param(
-            "logit_scale",
-            lambda key, shape: jnp.full(shape, float(np.log(10.0)), dtype=jnp.float32),
-            (self.num_heads, 1, 1),
+        return declare_attention_params(
+            self, self.dim, self.dim, attn_dim, self.num_heads, (ws, ws),
+            self.qkv_bias,
         )
-        table = self.param(
-            "relative_position_bias_table",
-            trunc_normal_init,
-            ((2 * ws - 1) * (2 * ws - 1), self.num_heads),
-            jnp.float32,
-        )
-        rel_idx = relative_position_index(ws, ws)
-        bias = gather_rel_pos_bias(table, rel_idx, self.num_heads)
-        wqkv, bqkv = _DenseParams(attn_dim * 3, use_bias=self.qkv_bias, name="qkv")(self.dim)
-        wproj, bproj = _DenseParams(self.dim, name="proj")(attn_dim)
-        return wqkv, bqkv, logit_scale, bias, wproj, bproj
 
 
 class NSTB(nn.Module):

@@ -143,15 +143,17 @@ class NGramWindowPartition(nn.Module):
     pallas_interpret: bool = False
     xla_window_merge: bool = False
 
-    return_context: bool = False
+    return_context: Any = False  # False | True | "map"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    def __call__(self, x, deterministic: bool = True):
         """x: [B, ph, pw, D] -> ([B*wh*ww, ws, ws, D], (wh, ww)).
 
         With ``return_context=True`` the context is NOT added: returns
         (windows of roll(x), (wh, ww), context [B, wh, ww, D]) so a fused
-        kernel can inject it per quadrant (tmar.ops.pallas_nstb)."""
+        kernel can inject it per quadrant (tmar.ops.pallas_nstb).  With
+        ``return_context="map"`` the rolled map itself is returned in
+        place of the windows: (roll(x) [B, ph, pw, D], (wh, ww), context)."""
         B, ph, pw, D = x.shape
         ws = self.window_size
         wh, ww = ph // ws, pw // ws

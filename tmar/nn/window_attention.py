@@ -48,6 +48,34 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+def declare_attention_params(
+    mod, in_dim, out_dim, attn_dim, num_heads, window_size, qkv_bias
+):
+    """Declare WindowAttention's exact param tree on ``mod`` (a module in
+    compact context) and return the raw arrays + gathered RPB bias —
+    single source of truth for both WindowAttention and the fused-NSTB
+    path's params-only module (tmar.nn.blocks._AttnParams).
+
+    Returns (wqkv, bqkv, logit_scale, bias, wproj, bproj)."""
+    win_h, win_w = window_size
+    logit_scale = mod.param(
+        "logit_scale",
+        lambda key, shape: jnp.full(shape, float(np.log(10.0)), dtype=jnp.float32),
+        (num_heads, 1, 1),
+    )
+    table = mod.param(
+        "relative_position_bias_table",
+        trunc_normal_init,
+        ((2 * win_h - 1) * (2 * win_w - 1), num_heads),
+        jnp.float32,
+    )
+    rel_idx = relative_position_index(win_h, win_w)
+    bias = gather_rel_pos_bias(table, rel_idx, num_heads)
+    wqkv, bqkv = _DenseParams(attn_dim * 3, use_bias=qkv_bias, name="qkv")(in_dim)
+    wproj, bproj = _DenseParams(out_dim, name="proj")(attn_dim)
+    return wqkv, bqkv, logit_scale, bias, wproj, bproj
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -75,23 +103,10 @@ class WindowAttention(nn.Module):
         head_dim = self.head_dim or self.dim // self.num_heads
         attn_dim = head_dim * self.num_heads
 
-        logit_scale = self.param(
-            "logit_scale",
-            lambda key, shape: jnp.full(shape, float(np.log(10.0)), dtype=jnp.float32),
-            (self.num_heads, 1, 1),
+        wqkv, bqkv, logit_scale, bias, wproj, bproj = declare_attention_params(
+            self, in_dim, self.dim, attn_dim, self.num_heads,
+            self.window_size, self.qkv_bias,
         )
-        win_h, win_w = self.window_size
-        table = self.param(
-            "relative_position_bias_table",
-            trunc_normal_init,
-            ((2 * win_h - 1) * (2 * win_w - 1), self.num_heads),
-            jnp.float32,
-        )
-        rel_idx = relative_position_index(win_h, win_w)
-        bias = gather_rel_pos_bias(table, rel_idx, self.num_heads)
-
-        wqkv, bqkv = _DenseParams(attn_dim * 3, use_bias=self.qkv_bias, name="qkv")(in_dim)
-        wproj, bproj = _DenseParams(self.dim, name="proj")(attn_dim)
 
         if self.use_pallas:
             assert self.attn_drop == 0.0 and self.proj_drop == 0.0, (

@@ -79,7 +79,15 @@ def fused_window_attention(
         auto = "batched" if x.shape[1] >= 32 else "blockdiag"
         impl = os.environ.get("TMAR_ATTN_IMPL", auto)
     if windows_per_step is None:
-        if impl == "batched":
+        try:
+            env_t = int(os.environ.get("TMAR_ATTN_T", "0"))
+        except ValueError:
+            env_t = 0
+        if env_t > 0:
+            # experimental override; large values can exceed the 16 MB
+            # scoped-vmem limit (blockdiag pre-tiles grow with T²)
+            windows_per_step = env_t
+        elif impl == "batched":
             # no T² cost — bigger tiles amortise the grid; T=32 measured
             # best at N=64 (19.6 ms vs 25.7 at T=8), T=64 exceeds the 16 MB
             # scoped-vmem limit
@@ -90,7 +98,20 @@ def fused_window_attention(
     has_bqkv = bqkv is not None
     has_bproj = bproj is not None
     if backward is None:
-        backward = os.environ.get("TMAR_ATTN_BWD", "pallas")
+        # "auto": pallas kernel when NOT differentiated; pure-XLA math as
+        # BOTH primal and backward under grad (training measured faster on
+        # the XLA path than any pallas-fwd combination — PERF.md).
+        # "pallas": pallas fwd + the hand-written fused backward kernel.
+        # "xla": pallas fwd + recompute-VJP through the math.
+        backward = os.environ.get("TMAR_ATTN_BWD", "auto")
+
+    from tmar.ops.attention import window_attention_math
+
+    def math_fn(x, wqkv, bqkv, logit_scale, bias, wproj, bproj):
+        return window_attention_math(
+            x, wqkv, bqkv, logit_scale, bias, wproj, bproj,
+            num_heads=num_heads, mask_components=mask_components,
+        )
 
     @jax.custom_vjp
     def op(x, wqkv, bqkv, logit_scale, bias, wproj, bproj):
@@ -104,26 +125,20 @@ def fused_window_attention(
         )
 
     def op_fwd(x, wqkv, bqkv, logit_scale, bias, wproj, bproj):
-        out = op(x, wqkv, bqkv, logit_scale, bias, wproj, bproj)
-        return out, (x, wqkv, bqkv, logit_scale, bias, wproj, bproj)
+        res = (x, wqkv, bqkv, logit_scale, bias, wproj, bproj)
+        if backward == "auto":
+            return math_fn(*res), res
+        return op(*res), res
 
     def op_bwd(res, g):
-        x, wqkv, bqkv, logit_scale, bias, wproj, bproj = res
+        x = res[0]
         if backward == "pallas":
             return _fused_backward(
-                x, wqkv, bqkv, logit_scale, bias, wproj, bproj,
-                g.astype(x.dtype), num_heads,
+                *res, g.astype(x.dtype), num_heads,
                 mask_components=mask_components,
                 interpret=interpret,
             )
-        from tmar.ops.attention import window_attention_math
-
-        _, vjp = jax.vjp(
-            lambda *a: window_attention_math(
-                *a, num_heads=num_heads, mask_components=mask_components
-            ),
-            x, wqkv, bqkv, logit_scale, bias, wproj, bproj,
-        )
+        _, vjp = jax.vjp(math_fn, *res)
         return vjp(g.astype(x.dtype))
 
     op.defvjp(op_fwd, op_bwd)
@@ -639,36 +654,30 @@ def _attn_kernel_packed(
     out_ref[:] = (proj + bproj_ref[0, :]).astype(out_ref.dtype)
 
 
-def _attn_kernel_batched(
-    x_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
-    mrow_ref, mcol_ref, ones_ref, out_ref, *, T, N, D, nh, hd_p, wh, ww,
+def batched_window_gates(widx0, mrow_ref, mcol_ref, *, T, wh, ww, wrap):
+    """Per-window SW-MSA shift mask [T, N, N] from the grid-derived window
+    index base ``widx0`` (traced scalar).  ``wrap``: apply the modulo for
+    flat-window grids whose padding wraps past wh·ww."""
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
+    widx = widx0 + w_iota
+    if wrap:
+        widx = widx % (wh * ww)
+    row_gate = (widx // ww == wh - 1).astype(jnp.float32)
+    col_gate = (widx % ww == ww - 1).astype(jnp.float32)
+    return row_gate * mrow_ref[:][None] + col_gate * mcol_ref[:][None]
+
+
+def batched_attention_core(
+    qkv, shift_mask, scale_ref, bias_ref, ones_ref, *, T, N, nh, hd_p,
 ):
-    """Per-window BATCHED attention: scores/softmax/AV run as [T, N, N]
-    batched ops — no [TN, TN] tensor exists anywhere, so both the T×
-    redundant MACs of the blockdiag dots and the T× redundant VPU softmax
-    passes (measured 26 ms/layer at 512², the kernel's dominant cost)
-    disappear.  Mosaic lowers the batch dimension of ``dot_general``
-    natively.  ``bias_ref`` is the raw [nh, N, N] bias and
-    ``mrow_ref``/``mcol_ref`` the raw [N, N] masks — no host pre-tiling."""
-    from jax.experimental import pallas as pl
+    """Shared per-window batched attention (used by _attn_kernel_batched
+    and the fused NSTB kernels): qkv [TN, 3·nh·hd_p] (f32, bias added) ->
+    pre-projection concat of head outputs [TN, nh·hd_p] (f32).
 
-    i = pl.program_id(0)
+    q/k L2 norms run as ONE MXU matmul against block-diagonal ones
+    (``ones_ref`` [2·A_p, 2·nh]); scores/softmax/AV are [T, N, N] batched
+    ``dot_general`` ops — no [TN, TN] tensor exists anywhere."""
     TN = T * N
-    x = x_ref[:]                                    # [TN, D]
-    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = qkv + bqkv_ref[0, :]
-
-    if wh and ww:
-        # per-window last-row / last-column gates, [T, 1, 1]
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
-        widx = (i * T + w_iota) % (wh * ww)
-        row_gate = (widx // ww == wh - 1).astype(jnp.float32)
-        col_gate = (widx % ww == ww - 1).astype(jnp.float32)
-        shift_mask = row_gate * mrow_ref[:][None] + col_gate * mcol_ref[:][None]
-    else:
-        shift_mask = None
-
-    # q/k L2 norms via one MXU matmul against block-diagonal ones
     A2 = 2 * nh * hd_p
     qk = qkv[:, :A2]
     sums = jnp.dot(qk * qk, ones_ref[:], preferred_element_type=jnp.float32)
@@ -695,7 +704,33 @@ def _attn_kernel_batched(
         )                                            # [T, N, hd_p]
         head_outs.append(o.reshape(TN, hd_p))
 
-    acc = jnp.concatenate(head_outs, axis=-1)       # [TN, nh·hd_p]
+    return jnp.concatenate(head_outs, axis=-1)      # [TN, nh·hd_p]
+
+
+def _attn_kernel_batched(
+    x_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
+    mrow_ref, mcol_ref, ones_ref, out_ref, *, T, N, D, nh, hd_p, wh, ww,
+):
+    """Per-window BATCHED attention: scores/softmax/AV run as [T, N, N]
+    batched ops (see batched_attention_core).  ``bias_ref`` is the raw
+    [nh, N, N] bias and ``mrow_ref``/``mcol_ref`` the raw [N, N] masks —
+    no host pre-tiling."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    x = x_ref[:]                                    # [TN, D]
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[0, :]
+
+    shift_mask = None
+    if wh and ww:
+        shift_mask = batched_window_gates(
+            i * T, mrow_ref, mcol_ref, T=T, wh=wh, ww=ww, wrap=True
+        )
+
+    acc = batched_attention_core(
+        qkv, shift_mask, scale_ref, bias_ref, ones_ref, T=T, N=N, nh=nh, hd_p=hd_p,
+    )
     proj = jnp.dot(
         acc.astype(wproj_ref.dtype), wproj_ref[:], preferred_element_type=jnp.float32
     )

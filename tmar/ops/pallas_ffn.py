@@ -66,17 +66,17 @@ def fused_residual_ffn(
             eps=eps, block_rows=block_rows, interpret=interpret,
         )
 
+    def math_fn(xx, ao, g1, bb1, w1, bw1, w2, bw2, g2, bb2):
+        return ffn_math(xx, ao, g1, bb1, w1, bw1, w2, bw2, g2, bb2, eps=eps)
+
     def op_fwd(*a):
-        return op(*a), a
+        # op_fwd only runs under differentiation: use the XLA math as the
+        # primal there (training stays pure-XLA, no pallas+recompute tax)
+        return math_fn(*a), a
 
     def op_bwd(res, g):
         x = res[0]
-        _, vjp = jax.vjp(
-            lambda xx, ao, g1, bb1, w1, bw1, w2, bw2, g2, bb2: ffn_math(
-                xx, ao, g1, bb1, w1, bw1, w2, bw2, g2, bb2, eps=eps
-            ),
-            *res,
-        )
+        _, vjp = jax.vjp(math_fn, *res)
         return vjp(g.astype(x.dtype))
 
     op.defvjp(op_fwd, op_bwd)

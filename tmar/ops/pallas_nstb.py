@@ -21,8 +21,11 @@ Then (identical math to the unfused path, tests assert equivalence):
   y      = x + LN1(a)                        # residual uses x WITHOUT ctx
   z      = y + LN2(fc2(gelu(fc1(y))))
 
-Backward: custom VJP recomputing through the pure-XLA math (training uses
-the XLA path anyway — PERF.md).
+Differentiation: the custom VJP's op_fwd — which only runs when the op is
+being differentiated — computes the primal via the pure-XLA math, and the
+backward is jax.vjp of the same math.  So training automatically stays on
+the XLA path (measured faster than any pallas-forward combination,
+PERF.md) while inference keeps the fused kernel.
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tmar.ops.attention import LOGIT_SCALE_MAX, window_attention_math
+from tmar.ops.attention import window_attention_math
 from tmar.ops.pallas_ffn import _gelu_exact, ffn_math
 
 
@@ -135,20 +138,23 @@ def fused_nstb(
             T=T, eps=eps, interpret=interpret,
         )
 
+    def math_fn(xx, cq, wq, bq, ls, bi, wp, bp, g1, bb1, w1, bw1, w2, bw2, g2, bb2):
+        return nstb_math(
+            xx, cq, jnp.asarray(sel), wq, bq, ls, bi, wp, bp,
+            g1, bb1, w1, bw1, w2, bw2, g2, bb2,
+            num_heads=num_heads, mask_components=mask_components, eps=eps,
+        )
+
     def op_fwd(*a):
-        return op(*a), a
+        # op_fwd only runs UNDER DIFFERENTIATION: use the pure-XLA math as
+        # the primal there, so training gets XLA forward+backward (measured
+        # faster than pallas-fwd + recompute-bwd, PERF.md) while inference
+        # (no grad) keeps the fused kernel.
+        return math_fn(*a), a
 
     def op_bwd(res, g):
         x = res[0]
-        _, vjp = jax.vjp(
-            lambda xx, cq, wq, bq, ls, bi, wp, bp, g1, bb1, w1, bw1, w2, bw2, g2, bb2:
-                nstb_math(
-                    xx, cq, jnp.asarray(sel), wq, bq, ls, bi, wp, bp,
-                    g1, bb1, w1, bw1, w2, bw2, g2, bb2,
-                    num_heads=num_heads, mask_components=mask_components, eps=eps,
-                ),
-            *res,
-        )
+        _, vjp = jax.vjp(math_fn, *res)
         return vjp(g.astype(x.dtype))
 
     op.defvjp(op_fwd, op_bwd)
@@ -284,33 +290,11 @@ def _nstb_body(
     qkv = jnp.dot(x_attn, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[0, :]
 
-    A2 = 2 * nh * hd_p
-    qk = qkv[:, :A2]
-    sums = jnp.dot(qk * qk, ones_ref[:], preferred_element_type=jnp.float32)
-    inv = jax.lax.rsqrt(sums + 1e-24)
-    mult = jnp.dot(inv, ones_ref[:].T, preferred_element_type=jnp.float32)
-    qk_n = qk * mult
+    from tmar.ops.pallas_attention import batched_attention_core
 
-    head_outs = []
-    for h in range(nh):
-        qn = qk_n[:, h * hd_p : (h + 1) * hd_p].reshape(T, N, hd_p)
-        kn = qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
-        v = qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
-        s = jax.lax.dot_general(
-            qn, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        s = s * scale_ref[0, h] + bias_ref[h][None]
-        if shift_mask is not None:
-            s = s + shift_mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        head_outs.append(o.reshape(TN, hd_p))
-
-    acc = jnp.concatenate(head_outs, axis=-1)
+    acc = batched_attention_core(
+        qkv, shift_mask, scale_ref, bias_ref, ones_ref, T=T, N=N, nh=nh, hd_p=hd_p,
+    )
     a = jnp.dot(
         acc.astype(wproj_ref.dtype), wproj_ref[:], preferred_element_type=jnp.float32
     ) + bproj_ref[0, :]                             # [TN, D] f32 attn out
@@ -341,14 +325,13 @@ def _nstb_kernel(
     x = x_ref[:]                                    # [TN, D] context-free
     cq = cq_ref[:].reshape(T, 4, D)
 
+    shift_mask = None
     if wh and ww:
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
-        widx = (i * T + w_iota) % (wh * ww)
-        row_gate = (widx // ww == wh - 1).astype(jnp.float32)
-        col_gate = (widx % ww == ww - 1).astype(jnp.float32)
-        shift_mask = row_gate * mrow_ref[:][None] + col_gate * mcol_ref[:][None]
-    else:
-        shift_mask = None
+        from tmar.ops.pallas_attention import batched_window_gates
+
+        shift_mask = batched_window_gates(
+            i * T, mrow_ref, mcol_ref, T=T, wh=wh, ww=ww, wrap=True
+        )
 
     z = _nstb_body(
         x, cq, shift_mask, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
@@ -394,7 +377,6 @@ def fused_nstb_map(
         if S > ww:
             S = ww
             break
-    Tw = ww // S                      # windows per grid step
     N = ws * ws
 
     g1, bb1 = ln1
@@ -417,24 +399,26 @@ def fused_nstb_map(
             ws=ws, S=S, eps=eps, interpret=interpret,
         )
 
+    def math_fn(xm, cq, wq, bq, ls, bi, wp, bp, g1, bb1, w1, bw1, w2, bw2, g2, bb2):
+        from tmar.ops.window import window_partition, window_unpartition
+
+        wins, _ = window_partition(xm, ws)
+        toks = wins.reshape(-1, N, D)
+        z = nstb_math(
+            toks, cq, jnp.asarray(sel), wq, bq, ls, bi, wp, bp,
+            g1, bb1, w1, bw1, w2, bw2, g2, bb2,
+            num_heads=num_heads, mask_components=mask_components, eps=eps,
+        )
+        return window_unpartition(z.reshape(-1, ws, ws, D), (wh, ww))
+
     def op_fwd(*a):
-        return op(*a), a
+        # under differentiation the primal is the pure-XLA math — training
+        # stays on the XLA path (faster fwd+bwd than pallas+recompute,
+        # PERF.md); inference keeps the fused kernel
+        return math_fn(*a), a
 
     def op_bwd(res, g):
         xm = res[0]
-
-        def math_fn(xm, cq, wq, bq, ls, bi, wp, bp, g1, bb1, w1, bw1, w2, bw2, g2, bb2):
-            from tmar.ops.window import window_partition, window_unpartition
-
-            wins, _ = window_partition(xm, ws)
-            toks = wins.reshape(-1, N, D)
-            z = nstb_math(
-                toks, cq, jnp.asarray(sel), wq, bq, ls, bi, wp, bp,
-                g1, bb1, w1, bw1, w2, bw2, g2, bb2,
-                num_heads=num_heads, mask_components=mask_components, eps=eps,
-            )
-            return window_unpartition(z.reshape(-1, ws, ws, D), (wh, ww))
-
         _, vjp = jax.vjp(math_fn, *res)
         return vjp(g.astype(xm.dtype))
 
@@ -575,16 +559,15 @@ def _nstb_map_kernel(
     tokens = jnp.transpose(tw, (1, 0, 2, 3)).reshape(TN, D)
     cq = cq_ref[:].reshape(T, 4, D)
 
+    shift_mask = None
     if masked:
+        from tmar.ops.pallas_attention import batched_window_gates
+
         # window (i, j*T + t) of the (wh, ww) grid — no wraparound, the
         # grid covers exactly the window grid
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
-        wcol = j * T + w_iota
-        row_gate = (i == wh - 1).astype(jnp.float32)          # traced scalar
-        col_gate = (wcol == ww - 1).astype(jnp.float32)       # [T, 1, 1]
-        shift_mask = row_gate * mrow_ref[:][None] + col_gate * mcol_ref[:][None]
-    else:
-        shift_mask = None
+        shift_mask = batched_window_gates(
+            i * ww + j * T, mrow_ref, mcol_ref, T=T, wh=wh, ww=ww, wrap=False
+        )
 
     z = _nstb_body(
         tokens, cq, shift_mask, sel_ref, wqkv_ref, bqkv_ref, scale_ref,
