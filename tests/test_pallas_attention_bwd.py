@@ -104,3 +104,28 @@ def test_fused_backward_under_jit_and_grad_scalar_loss():
     gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(args[0], args[1])
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-3)
+
+
+def test_fused_backward_small_windows_blockdiag():
+    """N=4 (n-gram-sized windows) routes to the blockdiag backward kernel;
+    gradients must still match the XLA vjp."""
+    N, D, nh, hd = 4, 16, 2, 8
+    B_ = 96
+    args = _make_inputs(B_, N, D, nh, hd, seed=5)
+    g = jnp.asarray(
+        np.random.default_rng(6).normal(size=(B_, N, D)).astype(np.float32)
+    )
+    ref_out, ref_grads = _grads(
+        lambda *a: window_attention_math(*a, num_heads=nh), args, g
+    )
+    pal_out, pal_grads = _grads(
+        lambda *a: fused_window_attention(
+            *a, num_heads=nh, interpret=True, backward="pallas"
+        ),
+        args, g,
+    )
+    np.testing.assert_allclose(np.asarray(pal_out), np.asarray(ref_out), atol=2e-4)
+    for pg, rg in zip(pal_grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(pg), np.asarray(rg), atol=5e-4, rtol=5e-3
+        )

@@ -354,11 +354,16 @@ def _fused_forward(
 def _fused_backward(
     x, wqkv, bqkv, logit_scale, bias, wproj, bproj, g, num_heads,
     mask_components=None, interpret=False, windows_per_step=None,
+    impl=None,
 ):
     """Hand-written fused backward: recomputes the forward per block in VMEM
     and emits all seven cotangents in one kernel.  Weight/bias/scale grads
     are grid-accumulated f32 outputs (constant index map, init at step 0);
-    scores/softmax never touch HBM — same property as the forward."""
+    scores/softmax never touch HBM — same property as the forward.
+
+    ``impl="batched"`` (default for N >= 32, matching the forward) runs the
+    whole backward on [T, N, N] batched tensors — no [TN, TN] anywhere, so
+    the working set is tiny and T can be large."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -369,27 +374,46 @@ def _fused_backward(
     hd = A // nh
     hd_p = max(_round_up(hd, 8), 8)
     A_p = nh * hd_p
-    # smaller T than the forward: the backward holds ~4 live [TN, TN] f32
-    # tensors per head
-    T = windows_per_step or max(1, 256 // N)
+    if impl is None:
+        impl = "batched" if N >= 32 else "blockdiag"
+    if windows_per_step is not None:
+        T = windows_per_step
+    elif impl == "batched":
+        # T=16 at N=64 overflows the 16 MB scoped-vmem limit by ~0.3 MB
+        # (the backward holds ~2x the forward's live set)
+        T = max(1, 512 // N)
+    else:
+        # the blockdiag backward holds ~4 live [TN, TN] f32 tensors per head
+        T = max(1, 256 // N)
     TN = T * N
 
     w_packed, bq, wp, scale_vec = _pack_params(
         wqkv, bqkv, logit_scale, wproj, nh, hd, hd_p, x.dtype
     )
 
-    blk = np.kron(np.eye(T, dtype=np.float32), np.ones((N, N), np.float32))
-    bias_big = jnp.asarray((1.0 - blk) * NEG)[None] + jnp.tile(
-        bias.astype(jnp.float32), (1, T, T)
-    )
-    if mask_components is not None:
-        m_row, m_col, wh, ww = mask_components
-        mrow_big = jnp.asarray(_tile_block(np.asarray(m_row, np.float32), T))
-        mcol_big = jnp.asarray(_tile_block(np.asarray(m_col, np.float32), T))
+    if impl == "batched":
+        bias_big = bias.astype(jnp.float32)          # [nh, N, N]
+        if mask_components is not None:
+            m_row, m_col, wh, ww = mask_components
+            mrow_big = jnp.asarray(m_row, jnp.float32)
+            mcol_big = jnp.asarray(m_col, jnp.float32)
+        else:
+            wh = ww = 0
+            mrow_big = jnp.zeros((N, N), jnp.float32)
+            mcol_big = jnp.zeros((N, N), jnp.float32)
     else:
-        wh = ww = 0
-        mrow_big = jnp.zeros((TN, TN), jnp.float32)
-        mcol_big = jnp.zeros((TN, TN), jnp.float32)
+        blk = np.kron(np.eye(T, dtype=np.float32), np.ones((N, N), np.float32))
+        bias_big = jnp.asarray((1.0 - blk) * NEG)[None] + jnp.tile(
+            bias.astype(jnp.float32), (1, T, T)
+        )
+        if mask_components is not None:
+            m_row, m_col, wh, ww = mask_components
+            mrow_big = jnp.asarray(_tile_block(np.asarray(m_row, np.float32), T))
+            mcol_big = jnp.asarray(_tile_block(np.asarray(m_col, np.float32), T))
+        else:
+            wh = ww = 0
+            mrow_big = jnp.zeros((TN, TN), jnp.float32)
+            mcol_big = jnp.zeros((TN, TN), jnp.float32)
 
     pad_windows = (-B_) % T
     if pad_windows:
@@ -400,9 +424,13 @@ def _fused_backward(
     x2 = x.reshape(Bp * N, D)
     g2 = g.astype(x.dtype).reshape(Bp * N, D)
 
-    kernel = functools.partial(
-        _attn_bwd_kernel, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww,
+    kernel_fn = (
+        _attn_bwd_kernel_batched if impl == "batched" else _attn_bwd_kernel
     )
+    kernel = functools.partial(
+        kernel_fn, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww,
+    )
+    Nrow, Ncol = (N, N) if impl == "batched" else (TN, TN)
     const = lambda i: (0, 0)  # noqa: E731
     dx, dw_p, dbq_p, dscale, dbias, dwp_p, dbp = pl.pallas_call(
         kernel,
@@ -413,10 +441,11 @@ def _fused_backward(
             pl.BlockSpec((D, 3 * A_p), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * A_p), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nh), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, TN, TN), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, Nrow, Ncol), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((A_p, D), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TN), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TN), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nrow, Ncol), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nrow, Ncol), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * A_p, 2 * nh), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -447,6 +476,10 @@ def _fused_backward(
         wp,
         mrow_big,
         mcol_big,
+        jnp.asarray(
+            (np.arange(2 * A_p)[:, None] // hd_p
+             == np.arange(2 * nh)[None, :]).astype(np.float32)
+        ),
     )
 
     dx = dx.reshape(Bp, N, D)
@@ -473,9 +506,128 @@ def _fused_backward(
     )
 
 
+def _attn_bwd_kernel_batched(
+    x_ref, g_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref,
+    mrow_ref, mcol_ref, ones_ref,
+    dx_ref, dw_ref, dbq_ref, dscale_ref, dbias_ref, dwp_ref, dbp_ref,
+    *, T, N, D, nh, hd_p, wh, ww,
+):
+    """Batched-shape fused backward: recomputes the forward and emits all
+    seven cotangents with every score-sized tensor shaped [T, N, N] — no
+    [TN, TN] working set, MXU-matmul q/k norms (and their backward as two
+    MXU dots), batched dot_generals throughout.  ``bias_ref`` is the raw
+    [nh, N, N] bias; ``mrow_ref``/``mcol_ref`` raw [N, N]."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    TN = T * N
+    A_p = nh * hd_p
+    A2 = 2 * A_p
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dbq_ref[:] = jnp.zeros_like(dbq_ref)
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dwp_ref[:] = jnp.zeros_like(dwp_ref)
+        dbp_ref[:] = jnp.zeros_like(dbp_ref)
+
+    x = x_ref[:]                                     # [TN, D]
+    gf = g_ref[:].astype(jnp.float32)
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[0, :]
+
+    shift_mask = None
+    if wh and ww:
+        shift_mask = batched_window_gates(
+            i * T, mrow_ref, mcol_ref, T=T, wh=wh, ww=ww, wrap=True
+        )
+
+    # recompute MXU norms (forward layout)
+    qk = qkv[:, :A2]
+    sums = jnp.dot(qk * qk, ones_ref[:], preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(sums + 1e-24)                # [TN, 2nh]
+    mult = jnp.dot(inv, ones_ref[:].T, preferred_element_type=jnp.float32)
+    qk_n = qk * mult                                 # [TN, 2A_p] normalised
+
+    dqkn_parts = []                                  # d(qn)/d(kn) pre-norm-bwd
+    dv_parts = []
+    accs = []
+    for h in range(nh):
+        qn = qk_n[:, h * hd_p : (h + 1) * hd_p].reshape(T, N, hd_p)
+        kn = qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
+        v = qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
+        cos = jax.lax.dot_general(
+            qn, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )                                            # [T, N, N]
+        s = cos * scale_ref[0, h] + bias_ref[h][None]
+        if shift_mask is not None:
+            s = s + shift_mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )                                            # [T, N, hd_p]
+        accs.append(o.reshape(TN, hd_p))
+
+        wp_h = wproj_ref[h * hd_p : (h + 1) * hd_p, :].astype(jnp.float32)
+        dacc = jax.lax.dot_general(                  # g @ wp_hᵀ -> [TN, hd_p]
+            gf, wp_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).reshape(T, N, hd_p)
+        dp = jax.lax.dot_general(                    # [T, N, N]
+            dacc, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dv = jax.lax.dot_general(                    # pᵀ @ dacc -> [T, N(m), hd_p]
+            p, dacc, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+        dbias_ref[h] += jnp.sum(ds, axis=0)
+        dscale_ref[h : h + 1, :] += jnp.sum(ds * cos).reshape(1, 1)
+
+        dcos = ds * scale_ref[0, h]
+        dqn = jax.lax.dot_general(                   # [T, N, hd_p]
+            dcos, kn, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dkn = jax.lax.dot_general(                   # dcosᵀ @ qn over n
+            dcos, qn, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dqkn_parts.append((dqn.reshape(TN, hd_p), dkn.reshape(TN, hd_p)))
+        dv_parts.append(dv.reshape(TN, hd_p))
+
+    # L2-norm backward for all heads at once via the MXU-ones trick:
+    # dq = inv·(dqn − qn·(dqn·qn))  per head segment
+    u = jnp.concatenate(
+        [dq for dq, _ in dqkn_parts] + [dk for _, dk in dqkn_parts], axis=-1
+    )                                                # [TN, 2A_p]
+    dots = jnp.dot(u * qk_n, ones_ref[:], preferred_element_type=jnp.float32)
+    corr = jnp.dot(dots, ones_ref[:].T, preferred_element_type=jnp.float32)
+    dqk = mult * (u - qk_n * corr)                   # [TN, 2A_p]
+
+    acc = jnp.concatenate(accs, axis=-1)             # [TN, A_p] f32
+    dwp_ref[:] += jax.lax.dot_general(               # accᵀ @ g -> [A_p, D]
+        acc, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbp_ref[:] += jnp.sum(gf, axis=0, keepdims=True)
+
+    dqkv = jnp.concatenate([dqk] + dv_parts, axis=-1)  # [TN, 3·A_p] f32
+    dx = jax.lax.dot_general(                          # dqkv @ wqkvᵀ -> [TN, D]
+        dqkv, wqkv_ref[:].astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    dw_ref[:] += jax.lax.dot_general(                  # xᵀ @ dqkv -> [D, 3·A_p]
+        x.astype(jnp.float32), dqkv,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dbq_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+
+
 def _attn_bwd_kernel(
     x_ref, g_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref,
-    mrow_ref, mcol_ref,
+    mrow_ref, mcol_ref, ones_ref,
     dx_ref, dw_ref, dbq_ref, dscale_ref, dbias_ref, dwp_ref, dbp_ref,
     *, T, N, D, nh, hd_p, wh, ww,
 ):
