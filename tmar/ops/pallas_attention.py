@@ -87,7 +87,7 @@ def fused_window_attention(
             # experimental override; large values can exceed the 16 MB
             # scoped-vmem limit (blockdiag pre-tiles grow with T²)
             windows_per_step = env_t
-        elif impl == "batched":
+        elif impl.startswith("batched"):
             # no T² cost — bigger tiles amortise the grid; T=32 measured
             # best at N=64 (19.6 ms vs 25.7 at T=8), T=64 exceeds the 16 MB
             # scoped-vmem limit
@@ -236,7 +236,7 @@ def _fused_forward(
     auto = "batched" if N >= 32 else "blockdiag"
     impl = impl or os.environ.get("TMAR_ATTN_IMPL", auto)
 
-    if impl == "batched":
+    if impl.startswith("batched"):
         # raw per-window constants — the batched kernel broadcasts over T
         bias_big = bias.astype(jnp.float32)          # [nh, N, N]
         if mask_components is not None:
@@ -288,13 +288,16 @@ def _fused_forward(
         "packed": _attn_kernel_packed,
         "diag": _attn_kernel_diag,
         "batched": _attn_kernel_batched,
+        "batched_hm": _attn_kernel_batched,
     }.get(impl, _attn_kernel)
     kw = {"mxu_norms": True} if impl == "blockdiag_mxnorm" else {}
+    if impl == "batched_hm":
+        kw = {"merge_heads": True}
     kernel = functools.partial(
         kernel_fn, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww, **kw,
     )
     Ncol = N if impl == "diag" else TN
-    if impl == "batched":
+    if impl.startswith("batched"):
         Nrow, Ncol = N, N
     else:
         Nrow = TN
@@ -333,7 +336,7 @@ def _fused_forward(
             pl.BlockSpec((A2, 2 * nh), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
         operands += [jnp.asarray(blk_np), jnp.asarray(e_np), jnp.asarray(ones_np)]
-    elif impl == "batched":
+    elif impl.startswith("batched"):
         in_specs += [
             pl.BlockSpec((A2, 2 * nh), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
@@ -821,6 +824,7 @@ def batched_window_gates(widx0, mrow_ref, mcol_ref, *, T, wh, ww, wrap):
 
 def batched_attention_core(
     qkv, shift_mask, scale_ref, bias_ref, ones_ref, *, T, N, nh, hd_p,
+    merge_heads=False, compute_dtype=jnp.bfloat16,
 ):
     """Shared per-window batched attention (used by _attn_kernel_batched
     and the fused NSTB kernels): qkv [TN, 3·nh·hd_p] (f32, bias added) ->
@@ -828,23 +832,81 @@ def batched_attention_core(
 
     q/k L2 norms run as ONE MXU matmul against block-diagonal ones
     (``ones_ref`` [2·A_p, 2·nh]); scores/softmax/AV are [T, N, N] batched
-    ``dot_general`` ops — no [TN, TN] tensor exists anywhere."""
+    ``dot_general`` ops — no [TN, TN] tensor exists anywhere.
+
+    ``merge_heads``: run ALL heads' score/AV matmuls as ONE batched dot
+    each against head-block-diagonal K/V ([T, N, nh·N] scores) — nh× the
+    MACs but ~2nh× fewer dot issues (per-head chain cost measured
+    2.9 ms/head/layer at 512²); softmax stays per head on aligned lane
+    slices."""
     TN = T * N
-    A2 = 2 * nh * hd_p
+    A_p = nh * hd_p
+    A2 = 2 * A_p
     qk = qkv[:, :A2]
     sums = jnp.dot(qk * qk, ones_ref[:], preferred_element_type=jnp.float32)
     inv = jax.lax.rsqrt(sums + 1e-24)
     mult = jnp.dot(inv, ones_ref[:].T, preferred_element_type=jnp.float32)
     qk_n = qk * mult
 
+    if merge_heads:
+        q3 = qk_n[:, :A_p].astype(compute_dtype).reshape(T, N, A_p)
+        kn3 = qk_n[:, A_p:A2].astype(compute_dtype).reshape(T, N, A_p)
+        v3 = qkv[:, A2:].astype(compute_dtype).reshape(T, N, A_p)
+
+        # block-diag K over heads: [T, A_p, nh·N]
+        kt = jnp.transpose(kn3, (0, 2, 1))           # [T, A_p, N]
+        rows_k = jax.lax.broadcasted_iota(jnp.int32, (A_p, nh * N), 0) // hd_p
+        cols_k = jax.lax.broadcasted_iota(jnp.int32, (A_p, nh * N), 1) // N
+        mask_k = (rows_k == cols_k).astype(compute_dtype)
+        k_bd = jnp.concatenate([kt] * nh, axis=2) * mask_k[None]
+        s_all = jax.lax.dot_general(                 # [T, N, nh·N]
+            q3, k_bd, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+        p_parts = []
+        for h in range(nh):
+            s = s_all[:, :, h * N : (h + 1) * N]
+            s = s * scale_ref[0, h] + bias_ref[h][None]
+            if shift_mask is not None:
+                s = s + shift_mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p_parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
+        p_all = jnp.concatenate(
+            [p.astype(compute_dtype) for p in p_parts], axis=2
+        )                                            # [T, N, nh·N]
+
+        # block-diag V over heads: [T, nh·N, A_p]
+        rows_v = jax.lax.broadcasted_iota(jnp.int32, (nh * N, A_p), 0) // N
+        cols_v = jax.lax.broadcasted_iota(jnp.int32, (nh * N, A_p), 1) // hd_p
+        mask_v = (rows_v == cols_v).astype(compute_dtype)
+        v_bd = jnp.concatenate([v3] * nh, axis=1) * mask_v[None]
+        out_all = jax.lax.dot_general(               # [T, N, A_p]
+            p_all, v_bd, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return out_all.reshape(TN, A_p)
+
     head_outs = []
     for h in range(nh):
-        qn = qk_n[:, h * hd_p : (h + 1) * hd_p].reshape(T, N, hd_p)
-        kn = qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
-        v = qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
+        # dot inputs in compute_dtype (f32 accumulation): bf16 inputs run
+        # the MXU at full rate — f32-input dots measured 8× slower and the
+        # XLA path itself feeds the score einsum bf16 operands
+        qn = qk_n[:, h * hd_p : (h + 1) * hd_p].astype(compute_dtype).reshape(T, N, hd_p)
+        kn = (
+            qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p]
+            .astype(compute_dtype)
+            .reshape(T, N, hd_p)
+        )
+        v = (
+            qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p]
+            .astype(compute_dtype)
+            .reshape(T, N, hd_p)
+        )
         s = jax.lax.dot_general(
             qn, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )                                            # [T, N, N]
+        )                                            # [T, N, N] f32
         s = s * scale_ref[0, h] + bias_ref[h][None]
         if shift_mask is not None:
             s = s + shift_mask
@@ -852,7 +914,8 @@ def batched_attention_core(
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )                                            # [T, N, hd_p]
         head_outs.append(o.reshape(TN, hd_p))
 
@@ -862,6 +925,7 @@ def batched_attention_core(
 def _attn_kernel_batched(
     x_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
     mrow_ref, mcol_ref, ones_ref, out_ref, *, T, N, D, nh, hd_p, wh, ww,
+    merge_heads: bool = False,
 ):
     """Per-window BATCHED attention: scores/softmax/AV run as [T, N, N]
     batched ops (see batched_attention_core).  ``bias_ref`` is the raw
@@ -882,6 +946,7 @@ def _attn_kernel_batched(
 
     acc = batched_attention_core(
         qkv, shift_mask, scale_ref, bias_ref, ones_ref, T=T, N=N, nh=nh, hd_p=hd_p,
+        merge_heads=merge_heads, compute_dtype=x.dtype,
     )
     proj = jnp.dot(
         acc.astype(wproj_ref.dtype), wproj_ref[:], preferred_element_type=jnp.float32

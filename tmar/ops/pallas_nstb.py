@@ -294,6 +294,7 @@ def _nstb_body(
 
     acc = batched_attention_core(
         qkv, shift_mask, scale_ref, bias_ref, ones_ref, T=T, N=N, nh=nh, hd_p=hd_p,
+        compute_dtype=x.dtype,
     )
     a = jnp.dot(
         acc.astype(wproj_ref.dtype), wproj_ref[:], preferred_element_type=jnp.float32
