@@ -102,3 +102,14 @@ def test_tiled_eval_matches_model(rng):
     ct = rng.standard_normal((1, 64, 64, 1)).astype(np.float32)
     out_tiled = tiled_eval(f, ct, tile=32, stride=16, tile_batch=4)
     np.testing.assert_allclose(out_tiled, f(ct), atol=1e-6)
+
+
+def test_device_profile_rows():
+    import jax
+    import jax.numpy as jnp
+
+    from tmar.utils.profiling import device_profile
+
+    rows = device_profile(jax.jit(lambda x: (x @ x).sum()), jnp.ones((128, 128)))
+    assert rows and all({"op", "ms", "count"} <= set(r) for r in rows)
+    assert any(r["op"] == "dot_general" or "dot" in r["op"] for r in rows)

@@ -75,3 +75,70 @@ def model_flops(fn: Callable, *args) -> Optional[float]:
         return float(analysis.get("flops", float("nan")))
     except Exception:
         return None
+
+
+def parse_trace_device_ops(logdir: str, top: int = 30) -> List[Dict]:
+    """Aggregate on-device op times from a ``trace_profile``/``jax.profiler``
+    trace directory — a text-mode substitute for the TensorBoard trace
+    viewer (no TB needed on a headless TPU host).
+
+    Returns [{"op": <coarse op kind>, "ms": total, "count": n}, ...] sorted
+    by time, aggregated over every device-lane complete event.  The coarse
+    kind strips fusion/dot indices ("fusion.123" -> "fusion") so repeated
+    layers collapse into one row; pair with ``detail=True`` rows via
+    ``parse_trace_device_ops_detailed`` when the HLO-level breakdown is
+    needed.
+    """
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    agg: Dict[str, float] = defaultdict(float)
+    cnt: Dict[str, int] = defaultdict(int)
+    for path in glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True):
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        pid_names = {}
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pid_names[e["pid"]] = e["args"].get("name", "")
+        device_pids = {
+            pid
+            for pid, name in pid_names.items()
+            if "TPU" in name or "/device" in name.lower() or "XLA" in name
+        }
+        for e in data.get("traceEvents", []):
+            if e.get("ph") != "X":
+                continue
+            if device_pids and e.get("pid") not in device_pids:
+                continue
+            kind = e.get("name", "").split(".")[0].split("(")[0]
+            agg[kind] += e.get("dur", 0) / 1e3
+            cnt[kind] += 1
+    rows = [
+        {"op": k, "ms": round(v, 3), "count": cnt[k]}
+        for k, v in sorted(agg.items(), key=lambda kv: -kv[1])
+    ]
+    return rows[:top]
+
+
+def device_profile(fn: Callable, *args, iters: int = 3, top: int = 30) -> List[Dict]:
+    """One-call on-device profile of a jitted callable: runs ``fn`` under a
+    jax.profiler trace and returns the aggregated per-op device times
+    (ms per iteration).  The tool this framework's own kernel optimisation
+    campaign ran on (PERF.md round 2)."""
+    import tempfile
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    with tempfile.TemporaryDirectory() as logdir:
+        with trace_profile(logdir):
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+        rows = parse_trace_device_ops(logdir, top=top)
+    for r in rows:
+        r["ms"] = round(r["ms"] / iters, 3)
+        r["count"] = r["count"] // iters
+    return rows
