@@ -46,6 +46,20 @@ def _tile_block(mat: np.ndarray, T: int) -> np.ndarray:
     return np.tile(mat, (T, T))
 
 
+def _premax_bias(bias, logit_scale):
+    """Pre-shift the [nh, N, N] bias by −(max(bias_h) + scale_h) so the
+    batched kernels can skip the per-row softmax max-reduce: every unmasked
+    logit becomes ≤ ~0 (cosine ≤ 1), exp cannot overflow, and the
+    always-unmasked self-attention entry (cosine = 1) keeps each row's sum
+    ≥ exp(−Δbias).  Softmax is shift-invariant, so outputs are unchanged."""
+    nh = bias.shape[0]
+    scale = jnp.exp(
+        jnp.clip(logit_scale.reshape(nh).astype(jnp.float32), max=LOGIT_SCALE_MAX)
+    )
+    shift = jnp.max(bias.astype(jnp.float32), axis=(1, 2)) + scale
+    return bias.astype(jnp.float32) - shift[:, None, None]
+
+
 def fused_window_attention(
     x: jnp.ndarray,
     wqkv: jnp.ndarray,
@@ -237,8 +251,9 @@ def _fused_forward(
     impl = impl or os.environ.get("TMAR_ATTN_IMPL", auto)
 
     if impl.startswith("batched"):
-        # raw per-window constants — the batched kernel broadcasts over T
-        bias_big = bias.astype(jnp.float32)          # [nh, N, N]
+        # raw per-window constants — the batched kernel broadcasts over T;
+        # max-free softmax: bias pre-shifted (see _premax_bias)
+        bias_big = _premax_bias(bias, logit_scale)   # [nh, N, N]
         if mask_components is not None:
             m_row, m_col, wh, ww = mask_components
             mrow_big = jnp.asarray(m_row, jnp.float32)
@@ -395,7 +410,7 @@ def _fused_backward(
     )
 
     if impl == "batched":
-        bias_big = bias.astype(jnp.float32)          # [nh, N, N]
+        bias_big = _premax_bias(bias, logit_scale)   # [nh, N, N]
         if mask_components is not None:
             m_row, m_col, wh, ww = mask_components
             mrow_big = jnp.asarray(m_row, jnp.float32)
@@ -567,7 +582,8 @@ def _attn_bwd_kernel_batched(
         s = cos * scale_ref[0, h] + bias_ref[h][None]
         if shift_mask is not None:
             s = s + shift_mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
+        # max-free: bias_ref is pre-shifted (_premax_bias); softmax is
+        # shift-invariant so ds/dbias/dscale are unchanged
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
@@ -838,7 +854,14 @@ def batched_attention_core(
     each against head-block-diagonal K/V ([T, N, nh·N] scores) — nh× the
     MACs but ~2nh× fewer dot issues (per-head chain cost measured
     2.9 ms/head/layer at 512²); softmax stays per head on aligned lane
-    slices."""
+    slices.
+
+    MAX-FREE SOFTMAX: callers pre-fold ``−(max(bias_h) + scale_h)`` into
+    ``bias_ref`` (see _premax_bias), which bounds every unmasked logit by
+    ≈0 so ``exp`` cannot overflow, and the always-unmasked self-attention
+    entry (cosine = 1 ⇒ logit ≥ −Δbias) keeps every row's sum well away
+    from zero — softmax is shift-invariant, so the result is unchanged
+    while the per-row max-reduce + subtract VPU passes disappear."""
     TN = T * N
     A_p = nh * hd_p
     A2 = 2 * A_p
@@ -870,7 +893,6 @@ def batched_attention_core(
             s = s * scale_ref[0, h] + bias_ref[h][None]
             if shift_mask is not None:
                 s = s + shift_mask
-            s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
             p_parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
         p_all = jnp.concatenate(
@@ -910,7 +932,8 @@ def batched_attention_core(
         s = s * scale_ref[0, h] + bias_ref[h][None]
         if shift_mask is not None:
             s = s + shift_mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
+        # no max-subtraction: bias_ref is pre-shifted so s <= ~0 (see
+        # docstring) and the self-attention entry bounds the row sum
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(

@@ -189,7 +189,10 @@ def _forward(
         wqkv, bqkv, logit_scale, wproj, nh, hd, hd_p, out_dtype
     )
 
-    bias_f = bias.astype(jnp.float32)                # [nh, N, N]
+    from tmar.ops.pallas_attention import _premax_bias
+
+    # max-free softmax in the batched core (see _premax_bias)
+    bias_f = _premax_bias(bias, logit_scale)         # [nh, N, N]
     if mask_components is not None:
         m_row, m_col, wh, ww = mask_components
         mrow = jnp.asarray(m_row, jnp.float32)
