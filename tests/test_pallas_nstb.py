@@ -106,3 +106,33 @@ def test_fused_nstb_grad_matches(monkeypatch, mapmode):
             np.asarray(v), np.asarray(ref), atol=5e-4, rtol=5e-4,
             err_msg=jax.tree_util.keystr(k),
         )
+
+
+@pytest.mark.parametrize("mapmode", ["0", "1"])
+def test_fused_nstb_finite_at_saturated_logit_scale(monkeypatch, mapmode):
+    """With logit_scale at its ln(100) clamp the logits reach ~100; the
+    softmax must stay finite (a max-free-softmax variant regressed here —
+    entire rows can underflow because cos(q_i, k_i) != 1)."""
+    rng = np.random.default_rng(7)
+    B, ph, pw, D = 1, 16, 16, 8
+    blk = NSTB(dim=D, ngram=2, num_heads=2, window_size=8, shift_size=4,
+               use_pallas=True, pallas_interpret=True)
+    x = jnp.asarray(rng.normal(size=(B, ph * pw, D)).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(0), x, (ph, pw))["params"]
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    # saturate every logit_scale in the tree
+    def saturate(path, leaf):
+        if path[-1].key == "logit_scale":
+            return jnp.full_like(leaf, 10.0)  # exp(clip(10)) -> 100
+        return leaf
+    params = jax.tree_util.tree_map_with_path(saturate, params)
+
+    monkeypatch.setenv("TMAR_NSTB_FUSED", "1")
+    monkeypatch.setenv("TMAR_NSTB_MAP", mapmode)
+    _, fused = blk.apply({"params": params}, x, (ph, pw))
+    assert np.isfinite(np.asarray(fused)).all()
+    monkeypatch.setenv("TMAR_NSTB_FUSED", "0")
+    _, unfused = blk.apply({"params": params}, x, (ph, pw))
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(unfused), atol=5e-5, rtol=5e-5
+    )

@@ -46,20 +46,6 @@ def _tile_block(mat: np.ndarray, T: int) -> np.ndarray:
     return np.tile(mat, (T, T))
 
 
-def _premax_bias(bias, logit_scale):
-    """Pre-shift the [nh, N, N] bias by −(max(bias_h) + scale_h) so the
-    batched kernels can skip the per-row softmax max-reduce: every unmasked
-    logit becomes ≤ ~0 (cosine ≤ 1), exp cannot overflow, and the
-    always-unmasked self-attention entry (cosine = 1) keeps each row's sum
-    ≥ exp(−Δbias).  Softmax is shift-invariant, so outputs are unchanged."""
-    nh = bias.shape[0]
-    scale = jnp.exp(
-        jnp.clip(logit_scale.reshape(nh).astype(jnp.float32), max=LOGIT_SCALE_MAX)
-    )
-    shift = jnp.max(bias.astype(jnp.float32), axis=(1, 2)) + scale
-    return bias.astype(jnp.float32) - shift[:, None, None]
-
-
 def fused_window_attention(
     x: jnp.ndarray,
     wqkv: jnp.ndarray,
@@ -151,6 +137,7 @@ def fused_window_attention(
                 *res, g.astype(x.dtype), num_heads,
                 mask_components=mask_components,
                 interpret=interpret,
+                impl="batched" if impl.startswith("batched") else "blockdiag",
             )
         _, vjp = jax.vjp(math_fn, *res)
         return vjp(g.astype(x.dtype))
@@ -162,6 +149,14 @@ def fused_window_attention(
         x, wqkv, bqkv if has_bqkv else zeros_b3, logit_scale, bias, wproj,
         bproj if has_bproj else zeros_bp,
     )
+
+
+def _ones_block(num_heads, hd_p, sections=2):
+    """[sections·nh·hd_p, sections·nh] block-diagonal ones used for the
+    MXU-matmul q/k norms; layout must match _pack_params' head packing."""
+    A = sections * num_heads * hd_p
+    seg = np.arange(A) // hd_p
+    return (seg[:, None] == np.arange(sections * num_heads)[None, :]).astype(np.float32)
 
 
 def _pack_params(wqkv, bqkv, logit_scale, wproj, num_heads, hd, hd_p, dtype):
@@ -251,9 +246,8 @@ def _fused_forward(
     impl = impl or os.environ.get("TMAR_ATTN_IMPL", auto)
 
     if impl.startswith("batched"):
-        # raw per-window constants — the batched kernel broadcasts over T;
-        # max-free softmax: bias pre-shifted (see _premax_bias)
-        bias_big = _premax_bias(bias, logit_scale)   # [nh, N, N]
+        # raw per-window constants — the batched kernel broadcasts over T
+        bias_big = bias.astype(jnp.float32)          # [nh, N, N]
         if mask_components is not None:
             m_row, m_col, wh, ww = mask_components
             mrow_big = jnp.asarray(m_row, jnp.float32)
@@ -340,8 +334,7 @@ def _fused_forward(
         mcol_big,
     ]
     A2 = 2 * nh * hd_p
-    seg = np.arange(A2) // hd_p
-    ones_np = (seg[:, None] == np.arange(2 * nh)[None, :]).astype(np.float32)
+    ones_np = _ones_block(nh, hd_p)
     if impl == "diag":
         blk_np = np.kron(np.eye(T, dtype=np.float32), np.ones((N, N), np.float32))
         e_np = np.tile(np.eye(N, dtype=np.float32), (T, 1))
@@ -410,7 +403,7 @@ def _fused_backward(
     )
 
     if impl == "batched":
-        bias_big = _premax_bias(bias, logit_scale)   # [nh, N, N]
+        bias_big = bias.astype(jnp.float32)          # [nh, N, N]
         if mask_components is not None:
             m_row, m_col, wh, ww = mask_components
             mrow_big = jnp.asarray(m_row, jnp.float32)
@@ -494,10 +487,7 @@ def _fused_backward(
         wp,
         mrow_big,
         mcol_big,
-        jnp.asarray(
-            (np.arange(2 * A_p)[:, None] // hd_p
-             == np.arange(2 * nh)[None, :]).astype(np.float32)
-        ),
+        jnp.asarray(_ones_block(nh, hd_p)),
     )
 
     dx = dx.reshape(Bp, N, D)
@@ -582,8 +572,7 @@ def _attn_bwd_kernel_batched(
         s = cos * scale_ref[0, h] + bias_ref[h][None]
         if shift_mask is not None:
             s = s + shift_mask
-        # max-free: bias_ref is pre-shifted (_premax_bias); softmax is
-        # shift-invariant so ds/dbias/dscale are unchanged
+        s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
@@ -646,7 +635,9 @@ def _attn_bwd_kernel_batched(
 
 def _attn_bwd_kernel(
     x_ref, g_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref,
-    mrow_ref, mcol_ref, ones_ref,
+    mrow_ref, mcol_ref, ones_ref,  # ones_ref unused here: this blockdiag
+    # kernel keeps per-head rsqrt norms; the operand exists only so both
+    # backward kernels share _fused_backward's operand list
     dx_ref, dw_ref, dbq_ref, dscale_ref, dbias_ref, dwp_ref, dbp_ref,
     *, T, N, D, nh, hd_p, wh, ww,
 ):
@@ -856,12 +847,12 @@ def batched_attention_core(
     2.9 ms/head/layer at 512²); softmax stays per head on aligned lane
     slices.
 
-    MAX-FREE SOFTMAX: callers pre-fold ``−(max(bias_h) + scale_h)`` into
-    ``bias_ref`` (see _premax_bias), which bounds every unmasked logit by
-    ≈0 so ``exp`` cannot overflow, and the always-unmasked self-attention
-    entry (cosine = 1 ⇒ logit ≥ −Δbias) keeps every row's sum well away
-    from zero — softmax is shift-invariant, so the result is unchanged
-    while the per-row max-reduce + subtract VPU passes disappear."""
+
+    (A "max-free softmax" via host-pre-shifted bias was tried and REVERTED:
+    q and k are different projections, so cos(q_i, k_i) != 1 and a row's
+    max logit has no static lower bound — at a saturated logit_scale
+    entire rows underflow to 0 and softmax returns NaN.  The per-row
+    max-subtract is load-bearing; it costs ~0.4 ms/layer at 512².)"""
     TN = T * N
     A_p = nh * hd_p
     A2 = 2 * A_p
@@ -893,6 +884,7 @@ def batched_attention_core(
             s = s * scale_ref[0, h] + bias_ref[h][None]
             if shift_mask is not None:
                 s = s + shift_mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
             p_parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
         p_all = jnp.concatenate(
@@ -932,8 +924,7 @@ def batched_attention_core(
         s = s * scale_ref[0, h] + bias_ref[h][None]
         if shift_mask is not None:
             s = s + shift_mask
-        # no max-subtraction: bias_ref is pre-shifted so s <= ~0 (see
-        # docstring) and the self-attention entry bounds the row sum
+        s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(

@@ -189,10 +189,7 @@ def _forward(
         wqkv, bqkv, logit_scale, wproj, nh, hd, hd_p, out_dtype
     )
 
-    from tmar.ops.pallas_attention import _premax_bias
-
-    # max-free softmax in the batched core (see _premax_bias)
-    bias_f = _premax_bias(bias, logit_scale)         # [nh, N, N]
+    bias_f = bias.astype(jnp.float32)                # [nh, N, N]
     if mask_components is not None:
         m_row, m_col, wh, ww = mask_components
         mrow = jnp.asarray(m_row, jnp.float32)
@@ -202,9 +199,10 @@ def _forward(
         mrow = jnp.zeros((N, N), jnp.float32)
         mcol = jnp.zeros((N, N), jnp.float32)
 
+    from tmar.ops.pallas_attention import _ones_block
+
     A2 = 2 * nh * hd_p
-    seg = np.arange(A2) // hd_p
-    ones_np = (seg[:, None] == np.arange(2 * nh)[None, :]).astype(np.float32)
+    ones_np = _ones_block(nh, hd_p)
 
     pad_windows = (-B_) % T
     if pad_windows:
@@ -471,9 +469,10 @@ def _forward_map(
         mrow = jnp.zeros((N, N), jnp.float32)
         mcol = jnp.zeros((N, N), jnp.float32)
 
+    from tmar.ops.pallas_attention import _ones_block
+
     A2 = 2 * nh * hd_p
-    seg = np.arange(A2) // hd_p
-    ones_np = (seg[:, None] == np.arange(2 * nh)[None, :]).astype(np.float32)
+    ones_np = _ones_block(nh, hd_p)
 
     cq2 = ctx_quads.reshape(B * wh * ww * 4, D)
 

@@ -85,9 +85,7 @@ def parse_trace_device_ops(logdir: str, top: int = 30) -> List[Dict]:
     Returns [{"op": <coarse op kind>, "ms": total, "count": n}, ...] sorted
     by time, aggregated over every device-lane complete event.  The coarse
     kind strips fusion/dot indices ("fusion.123" -> "fusion") so repeated
-    layers collapse into one row; pair with ``detail=True`` rows via
-    ``parse_trace_device_ops_detailed`` when the HLO-level breakdown is
-    needed.
+    layers collapse into one row.
     """
     import glob
     import gzip
@@ -139,6 +137,7 @@ def device_profile(fn: Callable, *args, iters: int = 3, top: int = 30) -> List[D
             jax.block_until_ready(out)
         rows = parse_trace_device_ops(logdir, top=top)
     for r in rows:
+        # ms is per ITERATION; count stays the total over the trace so
+        # one-time ops (count < iters) are visible rather than floored to 0
         r["ms"] = round(r["ms"] / iters, 3)
-        r["count"] = r["count"] // iters
     return rows
