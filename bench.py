@@ -216,8 +216,9 @@ def main():
     try:
         host_sps = bench_host_pipeline()
         extra["host_samples_per_s"] = round(host_sps, 1)
-        consumption_8chip = extra.get("train_samples_per_s", 8.0) * 8
-        extra["host_vs_8chip_consumption"] = round(host_sps / consumption_8chip, 2)
+        if "train_samples_per_s" in extra:  # only a MEASURED ratio, never a stand-in
+            consumption_8chip = extra["train_samples_per_s"] * 8
+            extra["host_vs_8chip_consumption"] = round(host_sps / consumption_8chip, 2)
     except Exception as e:
         extra["host_pipeline_error"] = repr(e)[:200]
     payload = {

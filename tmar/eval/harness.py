@@ -83,9 +83,15 @@ def run_comparison(
     # "selected slices" mode: reuse a cached index list across runs/models so
     # every comparison sees the same slices (reference
     # benchmark_tests/test_transmar_syndeeplesion.py:887-900)
+    indices = None
     if indices_cache is not None and os.path.exists(indices_cache):
-        indices = np.load(indices_cache)[:num_samples]
-    else:
+        cached = np.load(indices_cache)
+        want = min(num_samples, len(dataset))
+        # a cache written against a different dataset (larger => may index out
+        # of range; fewer entries => silently under-samples) is regenerated
+        if len(cached) >= want and (len(cached) == 0 or cached.max() < len(dataset)):
+            indices = cached[:want]
+    if indices is None:
         rng = np.random.default_rng(seed)
         indices = rng.choice(
             len(dataset), size=min(num_samples, len(dataset)), replace=False

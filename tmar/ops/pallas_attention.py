@@ -66,8 +66,10 @@ def fused_window_attention(
     Forward: Pallas kernel.  Backward: ``backward="pallas"`` runs the
     hand-written fused backward kernel (recompute-in-VMEM — the score/softmax
     tensors never touch HBM in either direction); ``backward="xla"`` falls
-    back to jax.vjp of the equivalent pure function.  Default comes from
-    ``TMAR_ATTN_BWD`` (pallas)."""
+    back to jax.vjp of the equivalent pure function; ``backward="auto"``
+    (the default, from ``TMAR_ATTN_BWD``) computes BOTH primal and backward
+    via the XLA math whenever the op is differentiated — measured fastest
+    for training (PERF.md), while inference still takes the Pallas forward."""
     import os
 
     if impl is None:
@@ -559,6 +561,11 @@ def _attn_bwd_kernel_batched(
     mult = jnp.dot(inv, ones_ref[:].T, preferred_element_type=jnp.float32)
     qk_n = qk * mult                                 # [TN, 2A_p] normalised
 
+    # the recomputed primal must match the forward kernel bit-for-bit, so the
+    # recompute dots (cos, o) take operands in the SAME compute dtype the
+    # forward used (x.dtype: bf16 on TPU, f32 in CPU tests); cotangent math
+    # stays f32-accumulated
+    cdt = x.dtype
     dqkn_parts = []                                  # d(qn)/d(kn) pre-norm-bwd
     dv_parts = []
     accs = []
@@ -567,7 +574,8 @@ def _attn_bwd_kernel_batched(
         kn = qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
         v = qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p].reshape(T, N, hd_p)
         cos = jax.lax.dot_general(
-            qn, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            qn.astype(cdt), kn.astype(cdt), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )                                            # [T, N, N]
         s = cos * scale_ref[0, h] + bias_ref[h][None]
         if shift_mask is not None:
@@ -576,7 +584,8 @@ def _attn_bwd_kernel_batched(
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p.astype(cdt), v.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )                                            # [T, N, hd_p]
         accs.append(o.reshape(TN, hd_p))
 
