@@ -170,6 +170,38 @@ def make_nmar_runner(core: Callable[..., np.ndarray]):
     return run
 
 
+def make_dudo_runner(model, params):
+    """In-tree dual-domain net protocol (:class:`tmar.nn.dudo.DuDoMARNet`):
+    [0,1]-scale images, raw-scale sinograms, NON-metal trace — the same
+    conventions as tmar.train.finetune's dual-domain loop, so a fine-tuned
+    in-tree net drops straight into the comparison harness without the
+    external-benchmark ×255/÷0.5 renormalisation dance.
+
+    Requires an enriched sample with sinograms.
+    """
+    import jax
+
+    fwd = jax.jit(
+        lambda p, xma, xli, m, sma, sli, tr: model.apply(
+            {"params": p}, xma, xli, m, sma, sli, tr
+        )["x"]
+    )
+
+    def run(sample: Dict[str, np.ndarray]) -> np.ndarray:
+        if sample.get("Sma") is None:
+            raise ValueError("dudo runner needs sinograms; enrich with a Radon operator")
+        xma = np.clip(sample["Xma"].astype(np.float32), 0, 1)[None, ..., None]
+        xli = np.clip(sample["XLI"].astype(np.float32), 0, 1)[None, ..., None]
+        m = (1.0 - (sample["Mask"] > 0.5).astype(np.float32))[None, ..., None]
+        sma = sample["Sma"].astype(np.float32)[None]
+        sli = sample["SLI"].astype(np.float32)[None]
+        tr = (1.0 - (sample["Tr"] > 0).astype(np.float32))[None]  # non-metal=1
+        out = np.asarray(jax.device_get(fwd(params, xma, xli, m, sma, sli, tr)))
+        return np.clip(out[0, ..., 0], 0.0, 1.0)
+
+    return run
+
+
 def make_sparse_view_runner(core: Callable[..., np.ndarray], radon, factor: int = 2):
     """MEPNet V-(A/factor) protocol (:783-875): zero out all but every
     ``factor``-th projection angle, FBP-reconstruct the sparse-view images,

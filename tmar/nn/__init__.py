@@ -11,6 +11,7 @@ from tmar.nn.baselines import (
     DCGANDiscriminator,
     DCGANGenerator,
 )
+from tmar.nn.dudo import DuDoMARNet
 
 __all__ = [
     "NGswin",
@@ -22,4 +23,5 @@ __all__ = [
     "BAFResNet",
     "DCGANDiscriminator",
     "DCGANGenerator",
+    "DuDoMARNet",
 ]

@@ -48,16 +48,69 @@ class FinetuneState(flax.struct.PyTreeNode):
     opt: Any
 
 
+def _is_dual_domain(model) -> bool:
+    """Dual-domain nets (tmar.nn.dudo.DuDoMARNet-class) mark themselves with
+    a ``dual_domain`` attribute and take the 6-tensor benchmark signature."""
+    return bool(getattr(model, "dual_domain", False))
+
+
+def _init_variables(rng, model, patch_size: int, in_chans: int = 1):
+    x = jnp.zeros((1, patch_size, patch_size, in_chans))
+    if _is_dual_domain(model):
+        proj = model.projector
+        s = jnp.zeros((1, proj.num_angles, proj.det_count))
+        return model.init(rng, x, x, x, s, s, jnp.ones_like(s))
+    return model.init(rng, x)
+
+
 def create_finetune_state(
     rng: jax.Array, model, tx: optax.GradientTransformation, patch_size: int,
     in_chans: int = 1,
 ) -> FinetuneState:
-    variables = model.init(rng, jnp.zeros((1, patch_size, patch_size, in_chans)))
+    variables = _init_variables(rng, model, patch_size, in_chans)
     return FinetuneState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         opt=tx.init(variables["params"]),
     )
+
+
+# ------------------------------------------------------------------ freezing
+def freeze_by_path(
+    tx: optax.GradientTransformation, params, frozen_prefixes,
+) -> optax.GradientTransformation:
+    """Wrap ``tx`` so parameters whose path starts with any of
+    ``frozen_prefixes`` receive zero updates (optax ``set_to_zero`` masking).
+
+    TPU-native equivalent of the reference's requires_grad=False stage
+    freezing (scripts/finetune_all_benchmarks.py:1875-1597 freezes MEPNet's
+    priornet + first N proxNet stages to fit memory) — here the frozen
+    branch is pruned from the compiled update, so XLA drops the dead
+    gradient math entirely.
+    """
+    frozen_prefixes = tuple(frozen_prefixes)
+
+    def label(path_keys) -> str:
+        path = "/".join(str(getattr(k, "key", k)) for k in path_keys)
+        return "frozen" if path.startswith(frozen_prefixes) else "train"
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, _: label(p), params
+    )
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels
+    )
+
+
+def dudo_freeze_prefixes(freeze_stages: int, freeze_prior: bool = True):
+    """Path prefixes freezing the prior net + first N unrolled stages of a
+    :class:`tmar.nn.dudo.DuDoMARNet` (the reference's
+    ``--mepnet_freeze_stages`` semantics, finetune_all_benchmarks.py:84,
+    :1875-1597)."""
+    prefixes = ["prior_net"] if freeze_prior else []
+    for k in range(freeze_stages):
+        prefixes += [f"prox_s_{k}", f"prox_x_{k}"]
+    return tuple(prefixes)
 
 
 def make_finetune_step(
@@ -77,22 +130,48 @@ def make_finetune_step(
     without one this is the image-domain loop.
     """
 
+    dual = _is_dual_domain(model)
+    if dual and projector is None:
+        projector_ = model.projector
+    else:
+        projector_ = projector
+
     def train_step(state: FinetuneState, batch):
         xma, xgt = batch["Xma"], batch["Xgt"]
 
         def loss_fn(params):
-            xout = model.apply({"params": params}, xma)
+            s_out = None
+            if dual:
+                # dual-domain signature (reference :1618-1624): sinogram
+                # inputs synthesized in-step by the native Radon — data-side
+                # projections carry no gradient
+                xli = batch.get("XLI", xma)
+                mask = batch["mask"]
+                stack = jnp.concatenate(
+                    [xma[..., 0], xli[..., 0], mask[..., 0]], axis=0
+                )
+                sinos = jax.lax.stop_gradient(projector_.forward(stack))
+                b = xma.shape[0]
+                sma, sli, trace = sinos[:b], sinos[b:2 * b], sinos[2 * b:]
+                tr = (trace < weights.trace_threshold).astype(sma.dtype)
+                out = model.apply(
+                    {"params": params}, xma, xli, 1.0 - mask, sma, sli, tr
+                )
+                xout, s_out = out["x"], out["s"]
+            else:
+                xout = model.apply({"params": params}, xma)
             l_rec = jnp.mean(jnp.abs(xout - xgt))
             pdx, pdy = image_gradients(xout)
             gdx, gdy = image_gradients(xgt)
             l_edge = jnp.mean(jnp.abs(pdx - gdx)) + jnp.mean(jnp.abs(pdy - gdy))
             total = weights.rec * l_rec + weights.edge * l_edge
             terms = {"rec": l_rec, "edge": l_edge}
-            if projector is not None and weights.sino:
-                s_out = projector.forward(xout)
-                s_gt = projector.forward(xgt)
-                trace = projector.forward(batch["mask"])
-                tr = (trace < weights.trace_threshold).astype(s_out.dtype)
+            if projector_ is not None and weights.sino:
+                if s_out is None:
+                    s_out = projector_.forward(xout)
+                    trace = projector_.forward(batch["mask"])
+                    tr = (trace < weights.trace_threshold).astype(s_out.dtype)
+                s_gt = jax.lax.stop_gradient(projector_.forward(xgt))
                 l_sino = jnp.mean(jnp.abs(s_out - s_gt) * tr)
                 total = total + weights.sino * l_sino
                 terms["sino"] = l_sino
@@ -128,10 +207,14 @@ def finetune(
     seed: int = 0,
     num_workers: int = 0,
     progress: bool = False,
+    freeze_prefixes=(),
 ) -> Dict[str, Any]:
     """Convenience loop: fine-tune ``model`` on a BenchmarkFinetuneDataset.
 
-    Returns {'state', 'history'} with per-epoch mean losses."""
+    ``freeze_prefixes`` freezes parameter subtrees by path prefix (see
+    :func:`freeze_by_path`; :func:`dudo_freeze_prefixes` builds the
+    reference's MEPNet stage-freezing set).  Returns {'state', 'history'}
+    with per-epoch mean losses."""
     import numpy as np
 
     from tmar.core.mesh import create_mesh, replicate
@@ -142,12 +225,20 @@ def finetune(
     sample = dataset[0]
     patch = sample["Xma"].shape[0]
     tx = optax.adam(lr)
-    state = create_finetune_state(jax.random.PRNGKey(seed), model, tx, patch)
+    variables = _init_variables(jax.random.PRNGKey(seed), model, patch)
+    if freeze_prefixes:
+        tx = freeze_by_path(tx, variables["params"], freeze_prefixes)
+    state = FinetuneState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        opt=tx.init(variables["params"]),
+    )
     state = replicate(mesh, state)
     step = make_finetune_step(model, tx, weights, projector=projector, mesh=mesh)
+    keys = ("Xma", "Xgt", "mask") + (("XLI",) if _is_dual_domain(model) else ())
     loader = Loader(
         dataset, batch_size=batch_size, num_workers=num_workers, seed=seed,
-        mesh=mesh, keys=("Xma", "Xgt", "mask"),
+        mesh=mesh, keys=keys,
     )
     history = []
     for epoch in range(num_epochs):
