@@ -149,6 +149,58 @@ def bench_train_step():
     return iters / (time.perf_counter() - t0)
 
 
+def bench_eval_matrix(extra):
+    """Eval-pipeline shape matrix (VERDICT r1 item 7): 128² batch inference
+    with the CURRENT kernels, 416² full-slice (the SynDeepLesion eval
+    shape), 64/32 overlapping tiled eval, and the mesh-sharded tiled path —
+    the shapes tmar/eval/inference.py + tmar/parallel.py actually serve."""
+    import jax.numpy as jnp
+
+    from tmar.core.mesh import create_mesh
+    from tmar.eval.inference import tiled_eval
+    from tmar.nn import NGswin
+    from tmar.parallel import sharded_tiled_eval
+
+    model = NGswin(dtype=jnp.bfloat16, use_pallas_attention=True)
+    small = jnp.zeros((8, 128, 128, 1), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), small)["params"]
+    fwd = jax.jit(lambda p, xx: model.apply({"params": p}, xx))
+    rng = np.random.default_rng(0)
+
+    x128 = jnp.asarray(rng.uniform(-1, 1, (8, 128, 128, 1)).astype(np.float32))
+    dt = _chained_time(lambda y: fwd(params, y), x128, 30)
+    extra["inference_128_b8_slices_per_s"] = round(8 / dt, 1)
+
+    x416 = jnp.asarray(rng.uniform(-1, 1, (4, 416, 416, 1)).astype(np.float32))
+    dt = _chained_time(lambda y: fwd(params, y), x416, 10)
+    extra["full_slice_416_slices_per_s"] = round(4 / dt, 2)
+
+    # tiled eval: 64² tiles, stride 32, coverage-averaged (write amortised
+    # on host) — wall-clock including host assembly, as served
+    ct = np.asarray(x416)
+
+    def np_fwd(t):
+        return np.asarray(jax.device_get(fwd(params, jnp.asarray(t))))
+
+    tiled_eval(np_fwd, ct, tile=64, stride=32)  # warm both tile buckets
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        tiled_eval(np_fwd, ct, tile=64, stride=32)
+    extra["tiled_64_32_slices_per_s"] = round(
+        reps * ct.shape[0] / (time.perf_counter() - t0), 2
+    )
+
+    mesh = create_mesh(1)
+    sharded_tiled_eval(model, params, mesh, ct, tile=64, stride=32)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sharded_tiled_eval(model, params, mesh, ct, tile=64, stride=32)
+    extra["sharded_tiled_slices_per_s"] = round(
+        reps * ct.shape[0] / (time.perf_counter() - t0), 2
+    )
+
+
 def bench_host_pipeline():
     """Host input-pipeline throughput via the production shard-cache path:
     build a small npy shard cache, then measure Loader samples/s (mmap read
@@ -213,6 +265,10 @@ def main():
         )
     except Exception as e:
         extra["train_error"] = repr(e)[:200]
+    try:
+        bench_eval_matrix(extra)
+    except Exception as e:
+        extra["eval_matrix_error"] = repr(e)[:200]
     try:
         host_sps = bench_host_pipeline()
         extra["host_samples_per_s"] = round(host_sps, 1)

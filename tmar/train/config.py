@@ -33,6 +33,9 @@ class ModelConfig:
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
     use_pallas_attention: bool = False
+    # lane-aligned block-diagonal window pairing on the XLA attention path
+    # (PERF.md: removes the 2x lane-padding tax in the train backward)
+    xla_window_merge: bool = False
     remat: bool = False
 
 
@@ -53,6 +56,18 @@ class OptimConfig:
     beta1: float = 0.5
     beta2: float = 0.999
     grad_clip: Optional[float] = None
+    # LR schedule applied to BOTH optimizers (reference utils/train_utils.py
+    # cosine/step-half + the YAML's promised MultiStepLR, SURVEY.md §0.10):
+    # "none" | "cosine" | "step_half" | "multistep"
+    schedule: str = "none"
+    warmup_steps: int = 0            # cosine warmup
+    min_lr: float = 0.0              # cosine floor
+    schedule_step_size: int = 1000   # step_half period
+    milestones: Tuple[int, ...] = () # multistep boundaries
+    gamma: float = 0.5               # multistep decay factor
+    # BEiT-style layer-wise LR decay on the GENERATOR (reference
+    # train_utils.py:63-188 param groups); None = off
+    llrd_decay: Optional[float] = None
 
 
 @dataclasses.dataclass

@@ -49,6 +49,23 @@ def multistep(base_lr: float, milestones, gamma: float = 0.5) -> optax.Schedule:
     return schedule
 
 
+def build_schedule(optim_cfg, base_lr: float, total_steps: int):
+    """Resolve an OptimConfig's schedule fields to an optax schedule
+    (None = constant LR).  Drives both TTUR optimizers in the Trainer."""
+    kind = getattr(optim_cfg, "schedule", "none") or "none"
+    if kind == "none":
+        return None
+    if kind == "cosine":
+        return warmup_cosine(base_lr, total_steps,
+                             warmup_steps=optim_cfg.warmup_steps,
+                             min_lr=optim_cfg.min_lr)
+    if kind == "step_half":
+        return step_half(base_lr, optim_cfg.schedule_step_size)
+    if kind == "multistep":
+        return multistep(base_lr, list(optim_cfg.milestones), optim_cfg.gamma)
+    raise ValueError(f"unknown schedule {kind!r}")
+
+
 # --------------------------------------------------------------------- LLRD
 def ngswin_layer_id(path: str, num_encoder_stages: int = 3) -> int:
     """Assign a depth id to an NGswin parameter path for layer-wise decay.

@@ -17,6 +17,7 @@ import time
 from typing import Any, Dict, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -26,6 +27,7 @@ from tmar.nn import MultiScaleDiscriminator, NGswin
 from tmar.nn.baselines import DCGANCritic
 from tmar.ops import Radon
 from tmar.train.config import TrainConfig
+from tmar.train.schedules import build_optimizer, build_schedule
 from tmar.train.steps import create_train_state, make_eval_step, make_train_step
 from tmar.checkpoint.io import CheckpointManager
 
@@ -65,6 +67,7 @@ def build_generator(cfg: TrainConfig):
         qkv_bias=m.qkv_bias,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
         use_pallas_attention=getattr(m, "use_pallas_attention", False),
+        xla_window_merge=getattr(m, "xla_window_merge", False),
         remat=getattr(m, "remat", False),
     )
 
@@ -132,11 +135,30 @@ class Trainer:
         self.discriminator = build_discriminator(cfg)
 
         o = cfg.optim
-        g_tx = optax.adam(o.lr_g, b1=o.beta1, b2=o.beta2)
-        d_tx = optax.adam(o.lr_d, b1=o.beta1, b2=o.beta2)
-        if o.grad_clip:
-            g_tx = optax.chain(optax.clip_by_global_norm(o.grad_clip), g_tx)
-            d_tx = optax.chain(optax.clip_by_global_norm(o.grad_clip), d_tx)
+        total_steps = max(
+            1, cfg.num_epochs * (cfg.data.samples_per_epoch // cfg.data.batch_size)
+        )
+        llrd = {"decay": o.llrd_decay} if o.llrd_decay else None
+        g_params_shapes = None
+        if llrd:
+            # LLRD scales depend only on parameter PATHS — an eval_shape init
+            # yields the tree without computing values
+            g_params_shapes = jax.eval_shape(
+                self.generator.init,
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.data.patch_size, cfg.data.patch_size,
+                           cfg.model.in_chans)),
+            )["params"]
+        g_tx = build_optimizer(
+            o.lr_g, o.beta1, o.beta2,
+            schedule=build_schedule(o, o.lr_g, total_steps),
+            grad_clip=o.grad_clip, llrd=llrd, params=g_params_shapes,
+        )
+        d_tx = build_optimizer(
+            o.lr_d, o.beta1, o.beta2,
+            schedule=build_schedule(o, o.lr_d, total_steps),
+            grad_clip=o.grad_clip,
+        )
         self.g_tx, self.d_tx = g_tx, d_tx
 
         projector = None
