@@ -136,3 +136,26 @@ def test_fused_nstb_finite_at_saturated_logit_scale(monkeypatch, mapmode):
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(unfused), atol=5e-5, rtol=5e-5
     )
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_fused_nstb_map_odd_stripe(monkeypatch, shift):
+    """Odd windows-per-stripe (ww=3 here; stage 3 of a 416² slice is ww=13):
+    the map kernel's context-quad block is padded to an even window count
+    host-side and sliced back in-kernel (Mosaic needs Tw·4 divisible by 8)."""
+    rng = np.random.default_rng(3)
+    B, ph, pw, D = 2, 16, 24, 8
+    blk = NSTB(dim=D, ngram=2, num_heads=2, window_size=8, shift_size=shift,
+               use_pallas=True, pallas_interpret=True)
+    x = jnp.asarray(rng.normal(size=(B, ph * pw, D)).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(0), x, (ph, pw))["params"]
+
+    monkeypatch.setenv("TMAR_NSTB_FUSED", "1")
+    monkeypatch.setenv("TMAR_NSTB_MAP", "1")
+    monkeypatch.setenv("TMAR_NSTB_TMAX", "3")  # force Tw=3 (odd) stripes
+    _, fused = blk.apply({"params": params}, x, (ph, pw))
+    monkeypatch.setenv("TMAR_NSTB_FUSED", "0")
+    _, unfused = blk.apply({"params": params}, x, (ph, pw))
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(unfused), atol=2e-5, rtol=2e-5
+    )

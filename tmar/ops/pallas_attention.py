@@ -304,6 +304,8 @@ def _fused_forward(
     kw = {"mxu_norms": True} if impl == "blockdiag_mxnorm" else {}
     if impl == "batched_hm":
         kw = {"merge_heads": True}
+    if impl.startswith("batched"):
+        kw["hd"] = hd
     kernel = functools.partial(
         kernel_fn, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww, **kw,
     )
@@ -840,7 +842,7 @@ def batched_window_gates(widx0, mrow_ref, mcol_ref, *, T, wh, ww, wrap):
 
 def batched_attention_core(
     qkv, shift_mask, scale_ref, bias_ref, ones_ref, *, T, N, nh, hd_p,
-    merge_heads=False, compute_dtype=jnp.bfloat16,
+    hd=None, merge_heads=False, compute_dtype=jnp.bfloat16,
 ):
     """Shared per-window batched attention (used by _attn_kernel_batched
     and the fused NSTB kernels): qkv [TN, 3·nh·hd_p] (f32, bias added) ->
@@ -911,12 +913,86 @@ def batched_attention_core(
         )
         return out_all.reshape(TN, A_p)
 
+    import os
+
+    g = int(os.environ.get("TMAR_ATTN_STACK", "0") or "0")
+    if g > 1:
+        # STACKED-HEAD path (ablation-only, default OFF): heads processed in
+        # groups of ``g`` with the group's scores row-concatenated to
+        # [g·T, N, N], so bias/mask add + max/exp/sum/div run as nh/g
+        # elementwise/reduction chains instead of nh per-head chains.
+        # MEASURED WORSE at 512² (g=2: 568 ms, g=3: 571 ms vs per-head
+        # 502 ms/batch): the sublane-dim q/k/v/bias concat copies cost more
+        # than the merged softmax chains save — same verdict as the
+        # lane-dim head pairing (PERF.md).  Kept for the ablation record;
+        # the logit scale folds into q before the score dot (q is
+        # L2-normalised first, so scaling commutes).
+        outs = [None] * nh
+        for h0 in range(0, nh, g):
+            hs = list(range(h0, min(h0 + g, nh)))
+            q_st = jnp.concatenate(
+                [
+                    (qk_n[:, h * hd_p : (h + 1) * hd_p] * scale_ref[0, h])
+                    .astype(compute_dtype)
+                    .reshape(T, N, hd_p)
+                    for h in hs
+                ],
+                axis=0,
+            )                                        # [g·T, N, hd_p]
+            k_st = jnp.concatenate(
+                [
+                    qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p]
+                    .astype(compute_dtype)
+                    .reshape(T, N, hd_p)
+                    for h in hs
+                ],
+                axis=0,
+            )
+            v_st = jnp.concatenate(
+                [
+                    qkv[:, (2 * nh + h) * hd_p : (2 * nh + h) * hd_p + hd_p]
+                    .astype(compute_dtype)
+                    .reshape(T, N, hd_p)
+                    for h in hs
+                ],
+                axis=0,
+            )
+            s = jax.lax.dot_general(                 # [g·T, N, N] = scale·cos
+                q_st, k_st, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + jnp.concatenate(
+                [jnp.broadcast_to(bias_ref[h][None], (T, N, N)) for h in hs],
+                axis=0,
+            )
+            if shift_mask is not None:
+                s = s + jnp.concatenate([shift_mask] * len(hs), axis=0)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(                 # [g·T, N, hd_p]
+                p.astype(compute_dtype), v_st, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for j, h in enumerate(hs):
+                outs[h] = o[j * T : (j + 1) * T].reshape(TN, hd_p)
+        return jnp.concatenate(outs, axis=-1)        # [TN, nh·hd_p]
+
+    mode = int(os.environ.get("TMAR_ATTN_POSTNORM", "0") or "0")
+    scale_fold = hd is not None and mode >= 1
+    av_norm = hd is not None and mode == 1
     head_outs = []
     for h in range(nh):
         # dot inputs in compute_dtype (f32 accumulation): bf16 inputs run
         # the MXU at full rate — f32-input dots measured 8× slower and the
         # XLA path itself feeds the score einsum bf16 operands
-        qn = qk_n[:, h * hd_p : (h + 1) * hd_p].astype(compute_dtype).reshape(T, N, hd_p)
+        qn = qk_n[:, h * hd_p : (h + 1) * hd_p]
+        if scale_fold:
+            # fold the logit scale into q BEFORE the score dot (L2-norm
+            # then scale commutes): the [T, N, N] scale-multiply pass
+            # becomes a [TN, hd_p] one fused into the dtype cast
+            qn = qn * scale_ref[0, h]
+        qn = qn.astype(compute_dtype).reshape(T, N, hd_p)
         kn = (
             qk_n[:, (nh + h) * hd_p : (nh + h) * hd_p + hd_p]
             .astype(compute_dtype)
@@ -930,16 +1006,45 @@ def batched_attention_core(
         s = jax.lax.dot_general(
             qn, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )                                            # [T, N, N] f32
-        s = s * scale_ref[0, h] + bias_ref[h][None]
+        if not scale_fold:
+            s = s * scale_ref[0, h]
+        s = s + bias_ref[h][None]
         if shift_mask is not None:
             s = s + shift_mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                            # [T, N, hd_p]
+        if av_norm:
+            # POST-AV normalisation (exact: softmax(s)@v == (e@v)/(e@1)):
+            # the row-sum rides the AV dot in a ones column — in v's head-
+            # dim zero padding when hd < hd_p, else an appended 8-lane
+            # block — so the [T, N, N] sum-reduce and divide passes become
+            # a [T, N, 1] reciprocal-broadcast at head-dim size.  Safe:
+            # the row max contributes exp(0)=1, so the sum is always >= 1.
+            if hd < hd_p:
+                ones_col = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, 1, hd_p), 2) == hd
+                ).astype(compute_dtype)
+                v_ext = v + ones_col
+                sum_col = hd
+            else:
+                v_ext = jnp.concatenate(
+                    [v, jnp.ones((T, N, 8), compute_dtype)], axis=2
+                )
+                sum_col = hd_p
+            o_ext = jax.lax.dot_general(
+                e.astype(compute_dtype), v_ext, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                        # [T, N, hd_p(+8)]
+            o = (
+                o_ext[:, :, :hd_p]
+                * (1.0 / o_ext[:, :, sum_col : sum_col + 1])
+            )
+        else:
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                        # [T, N, hd_p]
         head_outs.append(o.reshape(TN, hd_p))
 
     return jnp.concatenate(head_outs, axis=-1)      # [TN, nh·hd_p]
@@ -948,7 +1053,7 @@ def batched_attention_core(
 def _attn_kernel_batched(
     x_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
     mrow_ref, mcol_ref, ones_ref, out_ref, *, T, N, D, nh, hd_p, wh, ww,
-    merge_heads: bool = False,
+    hd=None, merge_heads: bool = False,
 ):
     """Per-window BATCHED attention: scores/softmax/AV run as [T, N, N]
     batched ops (see batched_attention_core).  ``bias_ref`` is the raw
@@ -969,7 +1074,7 @@ def _attn_kernel_batched(
 
     acc = batched_attention_core(
         qkv, shift_mask, scale_ref, bias_ref, ones_ref, T=T, N=N, nh=nh, hd_p=hd_p,
-        merge_heads=merge_heads, compute_dtype=x.dtype,
+        hd=hd, merge_heads=merge_heads, compute_dtype=x.dtype,
     )
     proj = jnp.dot(
         acc.astype(wproj_ref.dtype), wproj_ref[:], preferred_element_type=jnp.float32

@@ -31,6 +31,7 @@ PERF.md) while inference keeps the fused kernel.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -215,7 +216,7 @@ def _forward(
     cq2 = ctx_quads.reshape(Bp * 4, D)
 
     kernel = functools.partial(
-        _nstb_kernel, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww, H=H, eps=eps,
+        _nstb_kernel, T=T, N=N, D=D, nh=nh, hd_p=hd_p, hd=hd, wh=wh, ww=ww, H=H, eps=eps,
     )
     c0 = lambda i: (0, 0)  # noqa: E731
     out = pl.pallas_call(
@@ -276,7 +277,7 @@ def _nstb_body(
     x, cq, shift_mask, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
     wproj_ref, bproj_ref, ones_ref,
     g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
-    *, T, N, D, nh, hd_p, eps,
+    *, T, N, D, nh, hd_p, eps, hd=None,
 ):
     """Shared NSTB compute: x [TN, D] context-free window tokens,
     cq [T, 4, D] context quads, shift_mask [T, N, N] or None -> z [TN, D]."""
@@ -295,7 +296,7 @@ def _nstb_body(
 
     acc = batched_attention_core(
         qkv, shift_mask, scale_ref, bias_ref, ones_ref, T=T, N=N, nh=nh, hd_p=hd_p,
-        compute_dtype=x.dtype,
+        hd=hd, compute_dtype=x.dtype,
     )
     a = jnp.dot(
         acc.astype(wproj_ref.dtype), wproj_ref[:], preferred_element_type=jnp.float32
@@ -318,7 +319,7 @@ def _nstb_kernel(
     x_ref, cq_ref, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
     wproj_ref, bproj_ref, mrow_ref, mcol_ref, ones_ref,
     g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
-    out_ref, *, T, N, D, nh, hd_p, wh, ww, H, eps,
+    out_ref, *, T, N, D, nh, hd_p, wh, ww, H, eps, hd=None,
 ):
     from jax.experimental import pallas as pl
 
@@ -339,7 +340,7 @@ def _nstb_kernel(
         x, cq, shift_mask, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
         wproj_ref, bproj_ref, ones_ref,
         g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
-        T=T, N=N, D=D, nh=nh, hd_p=hd_p, eps=eps,
+        T=T, N=N, D=D, nh=nh, hd_p=hd_p, eps=eps, hd=hd,
     )
     out_ref[:] = z.astype(out_ref.dtype)
 
@@ -372,9 +373,12 @@ def fused_nstb_map(
     B, ph, pw, D = xmap.shape
     ws = window_size
     wh, ww = ph // ws, pw // ws
-    # stripes: split each window-row so one grid step holds <= 32 windows
+    # stripes: split each window-row so one grid step holds <= t_max
+    # windows (32 fits the default 16 MB scoped vmem; larger values get a
+    # vmem grant in _forward_map — TMAR_NSTB_TMAX is the measurement knob)
+    t_max = int(os.environ.get("TMAR_NSTB_TMAX", "32") or "32")
     S = 1
-    while ww // S > 32 or ww % S:
+    while ww // S > t_max or ww % S:
         S += 1
         if S > ww:
             S = ww
@@ -474,11 +478,21 @@ def _forward_map(
     A2 = 2 * nh * hd_p
     ones_np = _ones_block(nh, hd_p)
 
-    cq2 = ctx_quads.reshape(B * wh * ww * 4, D)
+    # Mosaic requires the cq block's sublane dim (Tw_p*4) divisible by 8:
+    # odd window counts per stripe (e.g. stage 3 of a 416^2 slice: ww=13,
+    # S=1) are padded to the next even count host-side and sliced back
+    # in-kernel.
+    Tw_p = Tw + (Tw % 2)
+    if Tw_p != Tw:
+        cq_s = ctx_quads.reshape(B * wh * S, Tw, 4, D)
+        cq_s = jnp.pad(cq_s, ((0, 0), (0, Tw_p - Tw), (0, 0), (0, 0)))
+        cq2 = cq_s.reshape(B * wh * S * Tw_p * 4, D)
+    else:
+        cq2 = ctx_quads.reshape(B * wh * ww * 4, D)
 
     kernel = functools.partial(
-        _nstb_map_kernel, T=Tw, N=N, D=D, nh=nh, hd_p=hd_p,
-        wh=wh, ww=ww, ws=ws, H=H, eps=eps, masked=masked,
+        _nstb_map_kernel, T=Tw, N=N, D=D, nh=nh, hd_p=hd_p, hd=hd,
+        wh=wh, ww=ww, ws=ws, H=H, eps=eps, masked=masked, T_pad=Tw_p,
     )
     c0 = lambda *i: (0, 0)  # noqa: E731
     out = pl.pallas_call(
@@ -490,7 +504,7 @@ def _forward_map(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (Tw * 4, D),
+                (Tw_p * 4, D),
                 lambda b, i, j: ((b * wh + i) * S + j, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -518,6 +532,18 @@ def _forward_map(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, ph, pw, D), out_dtype),
+        # stacked-head attention (TMAR_ATTN_STACK groups, pallas_attention.
+        # batched_attention_core) holds [g·T, N, N] f32 scores live: the
+        # default 16 MB scoped-vmem cap is ~100 KB short at g=2 and ~13 MB
+        # at g=6 (v5e VMEM is 128 MiB).  Granted only when that ablation
+        # path is on — the grant alone measured a ~2% slowdown (514 vs
+        # 502 ms/batch at 512²) on the default per-head path.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+            if Tw > 32
+            or int(os.environ.get("TMAR_ATTN_STACK", "0") or "0") > 1
+            else None
+        ),
         interpret=interpret,
     )(
         xmap,
@@ -548,7 +574,8 @@ def _nstb_map_kernel(
     x_ref, cq_ref, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
     wproj_ref, bproj_ref, mrow_ref, mcol_ref, ones_ref,
     g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
-    out_ref, *, T, N, D, nh, hd_p, wh, ww, ws, H, eps, masked,
+    out_ref, *, T, N, D, nh, hd_p, wh, ww, ws, H, eps, masked, hd=None,
+    T_pad=None,
 ):
     from jax.experimental import pallas as pl
 
@@ -560,7 +587,8 @@ def _nstb_map_kernel(
     stripe = x_ref[0]                                  # [ws, T*ws, D]
     tw = stripe.reshape(ws, T, ws, D)
     tokens = jnp.transpose(tw, (1, 0, 2, 3)).reshape(TN, D)
-    cq = cq_ref[:].reshape(T, 4, D)
+    Tp = T if T_pad is None else T_pad
+    cq = cq_ref[:].reshape(Tp, 4, D)[:T]
 
     shift_mask = None
     if masked:
@@ -576,7 +604,7 @@ def _nstb_map_kernel(
         tokens, cq, shift_mask, sel_ref, wqkv_ref, bqkv_ref, scale_ref,
         bias_ref, wproj_ref, bproj_ref, ones_ref,
         g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
-        T=T, N=N, D=D, nh=nh, hd_p=hd_p, eps=eps,
+        T=T, N=N, D=D, nh=nh, hd_p=hd_p, eps=eps, hd=hd,
     )
     # inverse: [TN, D] -> [ws, T*ws, D]
     zz = z.reshape(T, ws, ws, D)
