@@ -173,24 +173,30 @@ class DCGANGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, z, train: bool = False):
+        # torch ConvTranspose2d(k=4, s=2, p=1) == full VALID transpose
+        # ((in-1)*2 + 4 = 2*in + 2) center-cropped by p=1 per side -> 2*in.
+        # (flax's ConvTranspose padding crops differently, so the crop is
+        # explicit; the original padded spec produced 34^2 instead of 64^2.)
         specs = [
-            (self.ngf * 8, (4, 4), (1, 1), "VALID"),
-            (self.ngf * 4, (4, 4), (2, 2), ((1, 1), (1, 1))),
-            (self.ngf * 2, (4, 4), (2, 2), ((1, 1), (1, 1))),
-            (self.ngf, (4, 4), (2, 2), ((1, 1), (1, 1))),
+            (self.ngf * 8, (1, 1), False),   # 1 -> 4 (VALID, no crop)
+            (self.ngf * 4, (2, 2), True),    # 4 -> 8
+            (self.ngf * 2, (2, 2), True),    # 8 -> 16
+            (self.ngf, (2, 2), True),        # 16 -> 32
         ]
         h = z
-        for i, (f, k, s, p) in enumerate(specs):
+        for i, (f, s, crop) in enumerate(specs):
             h = nn.ConvTranspose(
-                f, k, strides=s, padding=p, use_bias=False, dtype=self.dtype,
-                kernel_init=conv_normal_init, name=f"up_{i}",
+                f, (4, 4), strides=s, padding="VALID", use_bias=False,
+                dtype=self.dtype, kernel_init=conv_normal_init, name=f"up_{i}",
             )(h)
+            if crop:
+                h = h[:, 1:-1, 1:-1, :]
             h = nn.BatchNorm(use_running_average=not train, name=f"bn_{i}")(h)
             h = nn.relu(h)
         h = nn.ConvTranspose(
-            self.nc, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False,
+            self.nc, (4, 4), strides=(2, 2), padding="VALID", use_bias=False,
             dtype=self.dtype, kernel_init=conv_normal_init, name="out",
-        )(h)
+        )(h)[:, 1:-1, 1:-1, :]                        # 32 -> 64
         return jnp.tanh(h)
 
 
