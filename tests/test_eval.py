@@ -113,3 +113,25 @@ def test_device_profile_rows():
     rows = device_profile(jax.jit(lambda x: (x @ x).sum()), jnp.ones((128, 128)))
     assert rows and all({"op", "ms", "count"} <= set(r) for r in rows)
     assert any(r["op"] == "dot_general" or "dot" in r["op"] for r in rows)
+
+
+def test_tiled_eval_jit_matches_host_path(rng):
+    """Device-side tiled eval (one-jit extraction+forward+assembly) must
+    equal the host-assembled tiled_eval for the same forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmar.eval.inference import make_tiled_eval_jit, tiled_eval
+    from tmar.nn import NGswin
+
+    gen = NGswin(ngrams=(2, 2, 2, 2), embed_dim=32, depths=(2, 2, 2),
+                 num_heads=(2, 2, 2), dec_dim=32, dec_depths=2,
+                 dec_num_heads=2, window_size=8)
+    ct = rng.uniform(-1, 1, (2, 96, 96, 1)).astype(np.float32)
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0), jnp.asarray(ct))["params"]
+    fwd = jax.jit(lambda t: gen.apply({"params": params}, t))
+
+    host = tiled_eval(lambda t: np.asarray(fwd(jnp.asarray(t))), ct,
+                      tile=64, stride=32)
+    dev = make_tiled_eval_jit(gen, params, tile=64, stride=32)(ct)
+    np.testing.assert_allclose(dev, host, atol=2e-5, rtol=1e-4)

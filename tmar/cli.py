@@ -74,13 +74,19 @@ def test(argv=None) -> int:
 
     from tmar.train import load_config
     from tmar.train.trainer import build_generator
-    from tmar.eval import full_slice_eval, make_inference_fn, psnr as _psnr, ssim as _ssim, tiled_eval
+    from tmar.eval import full_slice_eval, make_inference_fn, psnr as _psnr, ssim as _ssim
+    from tmar.eval.inference import make_tiled_eval_jit
     from tmar.eval.metrics import mae as _mae, rmse as _rmse
 
     cfg = load_config(args.config, _parse_sets(args.set))
     gen = build_generator(cfg)
     params = _load_generator_params(args.checkpoint, gen, cfg)
-    forward = make_inference_fn(gen, params)
+    # tiled mode: extraction + forward + coverage assembly in one jit (one
+    # device dispatch per slice); full-slice keeps the plain jit forward
+    forward = (
+        make_tiled_eval_jit(gen, params) if args.tiled
+        else make_inference_fn(gen, params)
+    )
 
     ds = _build_test_dataset(cfg)
     os.makedirs(args.out, exist_ok=True)
@@ -90,8 +96,7 @@ def test(argv=None) -> int:
         sample = ds[i]
         ct = sample["ct"][None, ..., None]
         gt01 = (sample["gt"] + 1) / 2
-        run = tiled_eval if args.tiled else full_slice_eval
-        pred = run(forward, ct)[0, ..., 0]
+        pred = (forward(ct) if args.tiled else full_slice_eval(forward, ct))[0, ..., 0]
         pred01 = np.clip((pred + 1) / 2, 0, 1)
         rows.append(
             {

@@ -7,7 +7,7 @@ from tmar.eval.metrics import (
     compute_hu_accuracy,
     hu_tolerance_rates,
 )
-from tmar.eval.inference import full_slice_eval, tiled_eval, make_inference_fn
+from tmar.eval.inference import full_slice_eval, tiled_eval, make_inference_fn, make_tiled_eval_jit
 
 __all__ = [
     "psnr",
@@ -20,4 +20,5 @@ __all__ = [
     "full_slice_eval",
     "tiled_eval",
     "make_inference_fn",
+    "make_tiled_eval_jit",
 ]

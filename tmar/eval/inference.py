@@ -11,6 +11,7 @@ Mirrors reference testing/test_finetuned_model.py:
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, List, Tuple
 
 import jax
@@ -85,3 +86,65 @@ def tiled_eval(
     for r, c in coords:
         weight[0, r : r + tile, c : c + tile, :] += 1.0
     return (out / weight).astype(np.float32)
+
+
+def make_tiled_eval_jit(
+    generator,
+    params,
+    tile: int = 64,
+    stride: int = 32,
+    mesh=None,
+) -> Callable[[np.ndarray], np.ndarray]:
+    """Fully device-side tiled eval: tile extraction, the batched forward and
+    the coverage-weighted assembly run inside ONE jit — one dispatch per ct
+    batch instead of one per tile chunk (the per-dispatch latency of a
+    remote/tunneled TPU dominates the host-assembled ``tiled_eval``; same
+    math, reference testing/test_finetuned_model.py:150-235).
+
+    With ``mesh``, the flat tile batch is sharding-constrained over the
+    data axis so the forward spreads across all devices (supersedes host-
+    side sharding; see tmar.parallel.sharded_tiled_eval).
+
+    Returns a closure [B, H, W, C] -> [B, H, W, C]; one compile per
+    (B, H, W) bucket.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    constraint = None
+    if mesh is not None:
+        from tmar.core.mesh import DATA_AXIS
+
+        constraint = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+        params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+
+    return lambda ct: np.asarray(
+        _tiled_run(generator, tile, stride, constraint, params, jnp.asarray(ct))
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _tiled_run(generator, tile, stride, constraint, params, ct):
+    """Jitted body of make_tiled_eval_jit (module-level so the jit cache is
+    shared across closure constructions; the flax module, tile geometry and
+    sharding constraint are static/hashable)."""
+    B, H, W, C = ct.shape
+    rows = _tile_positions(H, tile, stride)
+    cols = _tile_positions(W, tile, stride)
+    coords = [(r, c) for r in rows for c in cols]
+    weight = np.zeros((1, H, W, 1), np.float32)
+    for r, c in coords:
+        weight[0, r : r + tile, c : c + tile, :] += 1.0
+    inv_w = jnp.asarray(1.0 / weight)
+
+    tiles = jnp.stack(
+        [ct[:, r : r + tile, c : c + tile, :] for (r, c) in coords], axis=1
+    )                                                # [B, nT, tile, tile, C]
+    flat = tiles.reshape(B * len(coords), tile, tile, C)
+    if constraint is not None:
+        flat = jax.lax.with_sharding_constraint(flat, constraint)
+    res = generator.apply({"params": params}, flat).astype(jnp.float32)
+    res = res.reshape(B, len(coords), tile, tile, C)
+    out = jnp.zeros((B, H, W, C), jnp.float32)
+    for i, (r, c) in enumerate(coords):
+        out = out.at[:, r : r + tile, c : c + tile, :].add(res[:, i])
+    return out * inv_w

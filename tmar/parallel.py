@@ -64,31 +64,14 @@ def sharded_tiled_eval(
     """Overlapping tiled inference with tiles spread across the mesh.
 
     ct: [B, H, W, 1] in [-1, 1] -> restored [B, H, W, 1].
+
+    Implementation: the fully device-side tiled eval (extraction + forward +
+    coverage assembly in one jit, tmar.eval.inference.make_tiled_eval_jit)
+    with the flat tile batch sharding-constrained over the data axis — XLA
+    splits the forward across devices and all-gathers for the assembly.
     """
-    n_dev = int(np.prod(mesh.devices.shape))
-    B, H, W, C = ct.shape
-    rows = _tile_positions(H, tile, stride)
-    cols = _tile_positions(W, tile, stride)
-    coords = [(r, c) for r in rows for c in cols]
+    from tmar.eval.inference import make_tiled_eval_jit
 
-    tiles = np.stack(
-        [ct[b, r : r + tile, c : c + tile, :] for b in range(B) for (r, c) in coords]
-    )
-    n = tiles.shape[0]
-    pad = (-n) % n_dev
-    if pad:
-        tiles = np.concatenate([tiles, np.zeros((pad,) + tiles.shape[1:], tiles.dtype)])
-
-    forward = sharded_tile_forward(generator, params, mesh)
-    results = forward(tiles)[:n]
-
-    out = np.zeros_like(ct, dtype=np.float64)
-    weight = np.zeros((1, H, W, 1), dtype=np.float64)
-    k = 0
-    for b in range(B):
-        for r, c in coords:
-            out[b, r : r + tile, c : c + tile, :] += results[k]
-            k += 1
-    for r, c in coords:
-        weight[0, r : r + tile, c : c + tile, :] += 1.0
-    return (out / weight).astype(np.float32)
+    return make_tiled_eval_jit(
+        generator, params, tile=tile, stride=stride, mesh=mesh
+    )(ct)
