@@ -80,8 +80,7 @@ def bench_inference():
     from tmar.nn import NGswin
 
     # fused Pallas window attention on the inference path (tmar.ops.
-    # pallas_attention); training uses the XLA path (the fused kernel has no
-    # custom VJP yet)
+    # pallas_attention; whole-NSTB map kernels)
     model = NGswin(dtype=jnp.bfloat16, use_pallas_attention=True)
     x = jnp.asarray(
         np.random.default_rng(0).uniform(-1, 1, (BATCH, SLICE, SLICE, 1)).astype(np.float32)
@@ -112,9 +111,11 @@ def bench_train_step():
     from tmar.ops import Radon
     from tmar.train import create_train_state, make_train_step
 
-    # xla_window_merge: lane-aligned attention scores (no 2x padding tax in
-    # the backward); fused Pallas kernels stay inference-only (no bwd kernel)
-    gen = NGswin(dtype=jnp.bfloat16, xla_window_merge=True)
+    # pallas fwd + hand-written fused backward kernels: measured 6.25 vs the
+    # XLA merged path's 6.06 steps/s after the r2 kernel fixes (PERF.md) —
+    # the block-level NSTB fusion stands aside automatically in this mode
+    gen = NGswin(dtype=jnp.bfloat16, use_pallas_attention=True,
+                 attn_backward="pallas")
     disc = MultiScaleDiscriminator(dtype=jnp.bfloat16)
     g_tx = optax.adam(1e-4, b1=0.5, b2=0.999)
     d_tx = optax.adam(2e-4, b1=0.5, b2=0.999)
@@ -175,19 +176,32 @@ def bench_eval_matrix(extra):
     dt = _chained_time(lambda y: fwd(params, y), x416, 10)
     extra["full_slice_416_slices_per_s"] = round(4 / dt, 2)
 
-    # tiled eval: 64² tiles, stride 32, coverage-averaged (write amortised
-    # on host) — wall-clock including host assembly, as served
+    # tiled eval: 64² tiles, stride 32, coverage-averaged.  Served path =
+    # make_tiled_eval_jit (extraction + forward + assembly in ONE jit /
+    # one dispatch); the host-assembled callback path (external-adapter
+    # protocol) is kept as a comparison key.
+    from tmar.eval.inference import make_tiled_eval_jit
+
     ct = np.asarray(x416)
+    reps = 3
+
+    tiled_jit = make_tiled_eval_jit(model, params, tile=64, stride=32)
+    tiled_jit(ct)  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        tiled_jit(ct)
+    extra["tiled_64_32_slices_per_s"] = round(
+        reps * ct.shape[0] / (time.perf_counter() - t0), 2
+    )
 
     def np_fwd(t):
         return np.asarray(jax.device_get(fwd(params, jnp.asarray(t))))
 
     tiled_eval(np_fwd, ct, tile=64, stride=32)  # warm both tile buckets
     t0 = time.perf_counter()
-    reps = 3
     for _ in range(reps):
         tiled_eval(np_fwd, ct, tile=64, stride=32)
-    extra["tiled_64_32_slices_per_s"] = round(
+    extra["tiled_hostpath_slices_per_s"] = round(
         reps * ct.shape[0] / (time.perf_counter() - t0), 2
     )
 

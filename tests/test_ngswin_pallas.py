@@ -45,3 +45,29 @@ def test_remat_model_matches(rng):
     )
     g = jax.grad(lambda pp: jnp.sum(m1.apply({"params": pp}, x) ** 2))(p)
     assert np.isfinite(float(jax.tree_util.tree_leaves(g)[0].sum()))
+
+
+def test_pallas_backward_model_grad_matches_xla(rng):
+    """attn_backward="pallas" (the bench training config: pallas fwd + the
+    hand-written fused backward kernels) must produce the same gradients as
+    the pure-XLA model."""
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 1)).astype(np.float32))
+    m_xla = NGswin(**TINY)
+    m_pl = NGswin(**TINY, use_pallas_attention=True, pallas_interpret=True,
+                  attn_backward="pallas")
+    params = m_xla.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p}, x) ** 2)
+
+    from jax.flatten_util import ravel_pytree
+
+    g_xla = jax.grad(lambda p: loss(m_xla, p))(params)
+    g_pl = jax.grad(lambda p: loss(m_pl, p))(params)
+    flat_x, _ = ravel_pytree(g_xla)
+    flat_p, _ = ravel_pytree(g_pl)
+    scale = float(jnp.max(jnp.abs(flat_x))) + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(flat_p) / scale, np.asarray(flat_x) / scale,
+        atol=2e-4, rtol=5e-4,
+    )

@@ -96,6 +96,10 @@ class NSTB(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     xla_window_merge: bool = False
+    # "auto" (XLA math under grad) | "pallas" (fused bwd kernel) |
+    # "xla" (pallas fwd + recompute-VJP); pallas fwd+bwd measured
+    # fastest for training after the r2 kernel fixes (PERF.md)
+    attn_backward: str = "auto"
 
     @nn.compact
     def __call__(self, x, num_patches: Tuple[int, int], deterministic: bool = True):
@@ -114,6 +118,11 @@ class NSTB(nn.Module):
             and self.drop_path == 0.0
             and self.drop == 0.0
             and self.attn_drop == 0.0
+            # the whole-NSTB fused op computes its primal via the XLA math
+            # whenever it is differentiated, so with attn_backward="pallas"
+            # (training on the attention-level pallas fwd+bwd kernels) the
+            # block-level fusion must stand aside
+            and self.attn_backward != "pallas"
         ):
             import os
 
@@ -194,6 +203,7 @@ class NSTB(nn.Module):
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
             xla_window_merge=self.xla_window_merge,
+            attn_backward=self.attn_backward,
             return_context="map" if use_map else True,
             name="ngram_window_partition",
         )(xg, deterministic=deterministic)
@@ -273,6 +283,7 @@ class NSTB(nn.Module):
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
             xla_window_merge=self.xla_window_merge,
+            attn_backward=self.attn_backward,
             name="ngram_window_partition",
         )(x, deterministic=deterministic)
 
@@ -294,6 +305,7 @@ class NSTB(nn.Module):
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
             xla_window_merge=self.xla_window_merge,
+            attn_backward=self.attn_backward,
             name="attn",
         )(tokens, mask_components=mask_components, deterministic=deterministic)
 

@@ -144,6 +144,10 @@ class EncoderLayer(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     xla_window_merge: bool = False
+    # "auto" (XLA math under grad) | "pallas" (fused bwd kernel) |
+    # "xla" (pallas fwd + recompute-VJP); pallas fwd+bwd measured
+    # fastest for training after the r2 kernel fixes (PERF.md)
+    attn_backward: str = "auto"
     remat: bool = False
 
     @nn.compact
@@ -178,6 +182,7 @@ class EncoderLayer(nn.Module):
                 use_pallas=self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
                 xla_window_merge=self.xla_window_merge,
+                attn_backward=self.attn_backward,
                 name=f"blocks_{i}",
             )
             x_prev_in, x = blk(x + x_prev_in, num_patches, deterministic)
@@ -256,6 +261,10 @@ class DecoderLayer(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     xla_window_merge: bool = False
+    # "auto" (XLA math under grad) | "pallas" (fused bwd kernel) |
+    # "xla" (pallas fwd + recompute-VJP); pallas fwd+bwd measured
+    # fastest for training after the r2 kernel fixes (PERF.md)
+    attn_backward: str = "auto"
     remat: bool = False
 
     @nn.compact
@@ -282,6 +291,7 @@ class DecoderLayer(nn.Module):
                 use_pallas=self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
                 xla_window_merge=self.xla_window_merge,
+                attn_backward=self.attn_backward,
                 name=f"blocks_{i}",
             )
             x_prev_in, x = blk(x + x_prev_in, num_patches, deterministic)

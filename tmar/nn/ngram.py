@@ -57,6 +57,10 @@ class NGramContext(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     xla_window_merge: bool = False
+    # "auto" (XLA math under grad) | "pallas" (fused bwd kernel) |
+    # "xla" (pallas fwd + recompute-VJP); pallas fwd+bwd measured
+    # fastest for training after the r2 kernel fixes (PERF.md)
+    attn_backward: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -99,6 +103,7 @@ class NGramContext(nn.Module):
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
             xla_window_merge=self.xla_window_merge,
+            attn_backward=self.attn_backward,
             name="ngram_attn",
         )
 
@@ -142,6 +147,10 @@ class NGramWindowPartition(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     xla_window_merge: bool = False
+    # "auto" (XLA math under grad) | "pallas" (fused bwd kernel) |
+    # "xla" (pallas fwd + recompute-VJP); pallas fwd+bwd measured
+    # fastest for training after the r2 kernel fixes (PERF.md)
+    attn_backward: str = "auto"
 
     return_context: Any = False  # False | True | "map"
 
@@ -168,6 +177,7 @@ class NGramWindowPartition(nn.Module):
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
             xla_window_merge=self.xla_window_merge,
+            attn_backward=self.attn_backward,
             name="ngram_context",
         )(x, deterministic=deterministic)  # [B, wh, ww, D]
 

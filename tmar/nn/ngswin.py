@@ -53,6 +53,10 @@ class NGswin(nn.Module):
     pallas_interpret: bool = False
     remat: bool = False
     xla_window_merge: bool = False
+    # "auto" (XLA math under grad) | "pallas" (fused bwd kernel) |
+    # "xla" (pallas fwd + recompute-VJP); pallas fwd+bwd measured
+    # fastest for training after the r2 kernel fixes (PERF.md)
+    attn_backward: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -96,6 +100,7 @@ class NGswin(nn.Module):
                 pallas_interpret=self.pallas_interpret,
                 remat=self.remat,
                 xla_window_merge=self.xla_window_merge,
+                attn_backward=self.attn_backward,
                 name=f"encoder_layer{i+1}",
             )(cas, num_patches, deterministic=deterministic)
             pre_merge.append(e_)
@@ -133,6 +138,7 @@ class NGswin(nn.Module):
             pallas_interpret=self.pallas_interpret,
             remat=self.remat,
             xla_window_merge=self.xla_window_merge,
+            attn_backward=self.attn_backward,
             name="decoder_layer1",
         )(bottleneck_out + e1_, num_patches_scdp, deterministic=deterministic)
         dec = layer_norm(self.dtype, name="norm")(dec)

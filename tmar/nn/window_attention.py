@@ -88,6 +88,10 @@ class WindowAttention(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     xla_window_merge: bool = False
+    # "auto" (XLA math under grad) | "pallas" (fused bwd kernel) |
+    # "xla" (pallas fwd + recompute-VJP); pallas fwd+bwd measured
+    # fastest for training after the r2 kernel fixes (PERF.md)
+    attn_backward: str = "auto"
 
     @nn.compact
     def __call__(
@@ -129,6 +133,7 @@ class WindowAttention(nn.Module):
                 self.num_heads,
                 mask_components=mask_components,
                 interpret=interpret,
+                backward=None if self.attn_backward == "auto" else self.attn_backward,
             )
 
         # ---------------- XLA path (identical math) -------------------------

@@ -33,6 +33,10 @@ class ModelConfig:
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
     use_pallas_attention: bool = False
+    # attention backward under training: "auto" = XLA math fwd+bwd when
+    # differentiated; "pallas" = fused pallas fwd + hand-written bwd kernels
+    # (measured fastest after the r2 fixes: 6.25 vs 6.06 steps/s, PERF.md)
+    attn_backward: str = "auto"
     # lane-aligned block-diagonal window pairing on the XLA attention path
     # (PERF.md: removes the 2x lane-padding tax in the train backward)
     xla_window_merge: bool = False

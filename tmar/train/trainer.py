@@ -68,6 +68,7 @@ def build_generator(cfg: TrainConfig):
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
         use_pallas_attention=getattr(m, "use_pallas_attention", False),
         xla_window_merge=getattr(m, "xla_window_merge", False),
+        attn_backward=getattr(m, "attn_backward", "auto"),
         remat=getattr(m, "remat", False),
     )
 
