@@ -1013,7 +1013,27 @@ def batched_attention_core(
             s = s + shift_mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        if av_norm:
+        if mode == 3:
+            # MXU-sum post-AV normalisation (ablation-only, measured
+            # WORSE: 568 vs 503-515 ms at 512², PERF.md): row-sums from a
+            # dedicated all-ones batched dot (every output lane = the sum,
+            # so the reciprocal's lane slice is the ALIGNED [:, :, :1] —
+            # the unaligned width-1 slice is what sank mode 1),
+            # normalisation applied to the AV output at [T, N, hd_p] size.
+            # Exact: softmax(s)@v == (e@v)/(e@1); the row max contributes
+            # exp(0)=1 so sums >= 1.
+            eb = e.astype(compute_dtype)
+            o_un = jax.lax.dot_general(
+                eb, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                        # [T, N, hd_p] unnorm
+            sums = jax.lax.dot_general(
+                eb, jnp.ones((T, N, 8), compute_dtype),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                        # [T, N, 8] (all = sum)
+            o = o_un * (1.0 / sums[:, :, :1])
+        elif av_norm:
             # POST-AV normalisation (exact: softmax(s)@v == (e@v)/(e@1)):
             # the row-sum rides the AV dot in a ones column — in v's head-
             # dim zero padding when hd < hd_p, else an appended 8-lane
