@@ -20,6 +20,7 @@ from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from tmar.nn.layers import DropPath, Mlp, layer_norm
 from tmar.nn.ngram import NGramWindowPartition
@@ -211,8 +212,14 @@ class NSTB(nn.Module):
 
         if not use_map:
             tokens = windows.reshape(-1, ws * ws, D).astype(self.dtype)
-        cq = context_quads(ctx, self.shift_size).reshape(-1, 4, D)
-        sel = quadrant_selector(ws, self.shift_size)
+        if use_map and self.shift_size == 0:
+            # unshifted map blocks: every token reads its OWN window's
+            # context — a 1-slot cq (no host-side 4x quad broadcast)
+            cq = ctx.reshape(-1, 1, D)
+            sel = np.ones((ws * ws, 1), np.float32)
+        else:
+            cq = context_quads(ctx, self.shift_size).reshape(-1, 4, D)
+            sel = quadrant_selector(ws, self.shift_size)
 
         mask_components = None
         if self.shift_size > 0:
@@ -256,7 +263,8 @@ class NSTB(nn.Module):
             from tmar.ops.pallas_nstb import fused_nstb_map
 
             zmap = fused_nstb_map(
-                windows.astype(self.dtype), *args, window_size=ws, **common
+                windows.astype(self.dtype), *args, window_size=ws,
+                shift=self.shift_size, **common
             )
             out = reverse_cyclic_shift(zmap, self.shift_size)
             return out.reshape(B, ph * pw, D)

@@ -182,8 +182,9 @@ class NGramWindowPartition(nn.Module):
         )(x, deterministic=deterministic)  # [B, wh, ww, D]
 
         if self.return_context == "map":
-            # map-level fused path: rolled map + raw context, no partition
-            return cyclic_shift(x, self.shift_size), (wh, ww), context
+            # map-level fused path: unrolled map + raw context, no
+            # partition — the kernel assembles rolled stripes via halos
+            return x, (wh, ww), context
 
         if self.return_context:
             shifted = cyclic_shift(x, self.shift_size)

@@ -280,13 +280,29 @@ def _nstb_body(
     *, T, N, D, nh, hd_p, eps, hd=None,
 ):
     """Shared NSTB compute: x [TN, D] context-free window tokens,
-    cq [T, 4, D] context quads, shift_mask [T, N, N] or None -> z [TN, D]."""
+    cq [T, Q, D] context quads (Q=1: own context only; Q=4: 2x2 pre-shift
+    neighbourhood), shift_mask [T, N, N] or None -> z [TN, D]."""
     TN = T * N
-    # per-token context from the quadrant stack: sel [N,4] @ cq [T,4,D]
-    sel3 = jnp.broadcast_to(sel_ref[:][None], (T, N, 4))
-    ctx_tok = jax.lax.dot_general(
-        sel3, cq, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ).reshape(TN, D)                                # [TN, D] f32
+    Qs = sel_ref.shape[1]
+    if Qs == 1:
+        # unshifted: every token gets its own window's context (cq arrives
+        # [Tp, D]).  Mosaic rejects both the [Tp, 1, D] reshape and the
+        # sublane broadcast, so the per-window expansion runs as one tiny
+        # MXU dot against a block one-hot: ctx_tok[t*N+n] = cq[t].
+        Tp_ = cq.shape[0]
+        row_w = jax.lax.broadcasted_iota(jnp.int32, (TN, Tp_), 0) // N
+        col_w = jax.lax.broadcasted_iota(jnp.int32, (TN, Tp_), 1)
+        expand = (row_w == col_w).astype(jnp.float32)
+        ctx_tok = jnp.dot(
+            expand, cq.astype(jnp.float32), preferred_element_type=jnp.float32
+        )                                           # [TN, D] f32
+    else:
+        # per-token context from the quadrant stack: sel [N,4] @ cq [T,4,D]
+        sel3 = jnp.broadcast_to(sel_ref[:][None], (T, N, Qs))
+        ctx_tok = jax.lax.dot_general(
+            sel3, cq, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(TN, D)                            # [TN, D] f32
     x_attn = (x.astype(jnp.float32) + ctx_tok).astype(x.dtype)
 
     qkv = jnp.dot(x_attn, wqkv_ref[:], preferred_element_type=jnp.float32)
@@ -364,12 +380,20 @@ def fused_nstb_map(
     mask_components: Optional[Tuple] = None,
     eps: float = 1e-5,
     interpret: bool = False,
+    shift: int = 0,
 ) -> jnp.ndarray:
-    """Map-level fused NSTB: xmap is the *rolled, context-free* feature map
-    [B, ph, pw, D]; window partition/unpartition happen IN-KERNEL (row-dim
-    reshape+transpose), so the HBM layout copies of the token-level path
-    disappear.  ctx_quads: [B*wh*ww, 4, D] in window row-major order.
-    Returns the block output as a map [B, ph, pw, D] (still rolled)."""
+    """Map-level fused NSTB: xmap is the *UNROLLED, context-free* feature
+    map [B, ph, pw, D]; the SW-MSA cyclic roll (``shift``), window
+    partition and unpartition all happen IN-KERNEL — the rolled stripe is
+    assembled from the own/right/below/corner halo blocks via cyclic
+    index maps, so the XLA full-map roll copy disappears along with the
+    layout copies of the token-level path.  ctx_quads:
+    [B*wh*ww, Q, D] in window row-major order, where Q is 1 for
+    unshifted blocks (every token reads its own window's context) and 4
+    for shifted ones (the 2x2 pre-shift neighbourhood).
+    Returns the block output as a map [B, ph, pw, D] (still in ROLLED
+    space — roll/partition commute with all per-token ops and the
+    caller's reverse shift restores it)."""
     B, ph, pw, D = xmap.shape
     ws = window_size
     wh, ww = ph // ws, pw // ws
@@ -402,13 +426,13 @@ def fused_nstb_map(
             logit_scale, bias, wproj, bproj if has_bproj else None,
             g1, bb1, w1, bw1, w2, bw2, g2, bb2,
             num_heads=num_heads, mask_components=mask_components,
-            ws=ws, S=S, eps=eps, interpret=interpret,
+            ws=ws, S=S, eps=eps, interpret=interpret, shift=shift,
         )
 
     def math_fn(xm, cq, wq, bq, ls, bi, wp, bp, g1, bb1, w1, bw1, w2, bw2, g2, bb2):
-        from tmar.ops.window import window_partition, window_unpartition
+        from tmar.ops.window import cyclic_shift, window_partition, window_unpartition
 
-        wins, _ = window_partition(xm, ws)
+        wins, _ = window_partition(cyclic_shift(xm, shift), ws)
         toks = wins.reshape(-1, N, D)
         z = nstb_math(
             toks, cq, jnp.asarray(sel), wq, bq, ls, bi, wp, bp,
@@ -439,7 +463,7 @@ def fused_nstb_map(
 def _forward_map(
     xmap, ctx_quads, sel, wqkv, bqkv, logit_scale, bias, wproj, bproj,
     g1, bb1, w1, bw1, w2, bw2, g2, bb2,
-    *, num_heads, mask_components, ws, S, eps, interpret,
+    *, num_heads, mask_components, ws, S, eps, interpret, shift=0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -478,37 +502,73 @@ def _forward_map(
     A2 = 2 * nh * hd_p
     ones_np = _ones_block(nh, hd_p)
 
-    # Mosaic requires the cq block's sublane dim (Tw_p*4) divisible by 8:
-    # odd window counts per stripe (e.g. stage 3 of a 416^2 slice: ww=13,
-    # S=1) are padded to the next even count host-side and sliced back
-    # in-kernel.
-    Tw_p = Tw + (Tw % 2)
+    # cq slot count: unshifted blocks read only their own window's context
+    # (Q=1, no host-side 4x broadcast); shifted blocks carry the 2x2
+    # pre-shift neighbourhood (Q=4)
+    Q = ctx_quads.shape[1]
+    # Mosaic requires the cq block's sublane dim (Tw_p*Q) divisible by 8:
+    # pad the per-stripe window count up (e.g. stage 3 of a 416^2 slice:
+    # ww=13, S=1) and slice back in-kernel.
+    unit = 8 // np.gcd(Q, 8)
+    Tw_p = ((Tw + unit - 1) // unit) * unit
     if Tw_p != Tw:
-        cq_s = ctx_quads.reshape(B * wh * S, Tw, 4, D)
+        cq_s = ctx_quads.reshape(B * wh * S, Tw, Q, D)
         cq_s = jnp.pad(cq_s, ((0, 0), (0, Tw_p - Tw), (0, 0), (0, 0)))
-        cq2 = cq_s.reshape(B * wh * S * Tw_p * 4, D)
+        cq2 = cq_s.reshape(B * wh * S * Tw_p * Q, D)
     else:
-        cq2 = ctx_quads.reshape(B * wh * ww * 4, D)
+        cq2 = ctx_quads.reshape(B * wh * ww * Q, D)
 
     kernel = functools.partial(
         _nstb_map_kernel, T=Tw, N=N, D=D, nh=nh, hd_p=hd_p, hd=hd,
         wh=wh, ww=ww, ws=ws, H=H, eps=eps, masked=masked, T_pad=Tw_p,
+        Q=Q, shift=shift, S=S,
     )
     c0 = lambda *i: (0, 0)  # noqa: E731
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, wh, S),
-        in_specs=[
+    Tws8 = Tw * ws // 8
+    in_specs = [
+        pl.BlockSpec(
+            (1, ws, Tw * ws, D), lambda b, i, j: (b, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    # (the pallas_call below consumes in_specs assembled here)
+    halo_operands = []
+    if shift:
+        # in-kernel SW-MSA roll: the rolled stripe is assembled from the
+        # own block + an 8-col right halo + the below row-block + its
+        # 8-col corner (all cyclic — jnp.roll wraparound semantics)
+        in_specs += [
             pl.BlockSpec(
-                (1, ws, Tw * ws, D), lambda b, i, j: (b, i, j, 0),
+                (1, ws, 8, D),
+                lambda b, i, j, _S=S, _T8=Tws8: (b, i, ((j + 1) % _S) * _T8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # below/corner: only the first ``shift`` rows are needed —
+            # a finer row-block unit halves the halo read when shift
+            # divides ws
+            pl.BlockSpec(
+                (1, shift, Tw * ws, D),
+                lambda b, i, j, _wh=wh, _r=ws // shift: (
+                    b, ((i + 1) % _wh) * _r, j, 0
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (Tw_p * 4, D),
+                (1, shift, 8, D),
+                lambda b, i, j, _wh=wh, _S=S, _T8=Tws8, _r=ws // shift: (
+                    b, ((i + 1) % _wh) * _r, ((j + 1) % _S) * _T8, 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        halo_operands = [xmap, xmap, xmap]
+    in_specs += [
+            pl.BlockSpec(
+                (Tw_p * Q, D),
                 lambda b, i, j: ((b * wh + i) * S + j, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((N, 4), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, Q), c0, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 3 * nh * hd_p), c0, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * nh * hd_p), c0, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nh), c0, memory_space=pltpu.VMEM),
@@ -526,7 +586,11 @@ def _forward_map(
             pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
-        ],
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, wh, S),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, ws, Tw * ws, D), lambda b, i, j: (b, i, j, 0),
             memory_space=pltpu.VMEM,
@@ -547,6 +611,7 @@ def _forward_map(
         interpret=interpret,
     )(
         xmap,
+        *halo_operands,
         cq2.astype(out_dtype),
         jnp.asarray(sel),
         w_packed.astype(out_dtype),
@@ -571,24 +636,47 @@ def _forward_map(
 
 
 def _nstb_map_kernel(
-    x_ref, cq_ref, sel_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref,
-    wproj_ref, bproj_ref, mrow_ref, mcol_ref, ones_ref,
-    g1_ref, b1_ref, w1_ref, bw1_ref, w2_ref, bw2_ref, g2_ref, b2_ref,
-    out_ref, *, T, N, D, nh, hd_p, wh, ww, ws, H, eps, masked, hd=None,
-    T_pad=None,
+    *refs, T, N, D, nh, hd_p, wh, ww, ws, H, eps, masked, hd=None,
+    T_pad=None, Q=4, shift=0, S=1,
 ):
     from jax.experimental import pallas as pl
+
+    if shift:
+        (x_ref, right_ref, below_ref, corner_ref, cq_ref, sel_ref,
+         wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
+         mrow_ref, mcol_ref, ones_ref, g1_ref, b1_ref, w1_ref, bw1_ref,
+         w2_ref, bw2_ref, g2_ref, b2_ref, out_ref) = refs
+    else:
+        (x_ref, cq_ref, sel_ref,
+         wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref, bproj_ref,
+         mrow_ref, mcol_ref, ones_ref, g1_ref, b1_ref, w1_ref, bw1_ref,
+         w2_ref, bw2_ref, g2_ref, b2_ref, out_ref) = refs
 
     i = pl.program_id(1)              # window row
     j = pl.program_id(2)              # stripe within the row
     TN = T * N
 
+    if shift:
+        # assemble the (-shift, -shift)-rolled stripe from the unrolled
+        # map's own/right/below/corner halo blocks (compile-probed exact
+        # vs jnp.roll; the XLA full-map roll copy disappears)
+        own = x_ref[0]                                 # [ws, T*ws, D]
+        top = jnp.concatenate([own, right_ref[0]], axis=1)
+        bot = jnp.concatenate([below_ref[0], corner_ref[0]], axis=1)
+        tall = jnp.concatenate([top[shift:], bot], axis=0)  # below refs carry
+        stripe = tall[:, shift : shift + T * ws, :]    # exactly shift rows
+    else:
+        stripe = x_ref[0]                              # [ws, T*ws, D]
+
     # in-kernel window partition: [ws, T*ws, D] -> [T windows, ws*ws, D]
-    stripe = x_ref[0]                                  # [ws, T*ws, D]
     tw = stripe.reshape(ws, T, ws, D)
     tokens = jnp.transpose(tw, (1, 0, 2, 3)).reshape(TN, D)
     Tp = T if T_pad is None else T_pad
-    cq = cq_ref[:].reshape(Tp, 4, D)[:T]
+    if Q == 1:
+        cq = cq_ref[:]                                 # [Tp, D] (2-D: a
+        # [Tp, 1, D] reshape is an unsupported Mosaic shape cast)
+    else:
+        cq = cq_ref[:].reshape(Tp, Q, D)[:T]
 
     shift_mask = None
     if masked:
