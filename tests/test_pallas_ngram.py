@@ -1,0 +1,89 @@
+"""Equivalence of the fused n-gram context megakernel (tmar.ops.pallas_ngram)
+against the unfused NGramContext composition (pads + sliding patches +
+window attention + mean + merge), including the flagship's non-dividing
+head count (dim/2 = 32, heads = 6 -> head_dim 5) and non-multiple-of-8
+window grids."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmar.nn.ngram import NGramContext
+
+
+def _make(dim, heads, wh, ww, ws=4, seed=0):
+    module = NGramContext(
+        dim=dim, window_size=ws, ngram=2, ngram_num_heads=heads,
+        use_pallas=True, pallas_interpret=True,
+    )
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(
+        rng.standard_normal((2, wh * ws, ww * ws, dim)).astype(np.float32)
+    )
+    params = module.init(jax.random.PRNGKey(seed), x)["params"]
+    return module, params, x
+
+
+@pytest.mark.parametrize(
+    "dim,heads,wh,ww",
+    [
+        (64, 6, 8, 8),    # flagship stage-1 geometry: head_dim 32//6 = 5
+        (64, 4, 6, 5),    # stage-2 head count, odd/non-8 window grid
+        (32, 2, 2, 2),    # smallest legal grid (reflection index == 0 edge)
+    ],
+)
+def test_fused_ngram_context_matches_unfused(monkeypatch, dim, heads, wh, ww):
+    module, params, x = _make(dim, heads, wh, ww)
+
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "0")
+    ref = module.apply({"params": params}, x)
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "1")
+    fused = module.apply({"params": params}, x)
+
+    assert fused.shape == ref.shape == (2, wh, ww, dim)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=3e-5, rtol=3e-5
+    )
+
+
+def test_fused_ngram_context_grad_matches(monkeypatch):
+    module, params, x = _make(64, 6, 4, 4)
+
+    def loss(path_env, p, xx):
+        monkeypatch.setenv("TMAR_NGRAM_FUSED", path_env)
+        out = module.apply({"params": p}, xx)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_ref = jax.grad(lambda p: loss("0", p, x))(params)
+    g_fused = jax.grad(lambda p: loss("1", p, x))(params)
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    flat_f = jax.tree_util.tree_leaves(g_fused)
+    assert len(flat_r) == len(flat_f)
+    for a, b in zip(flat_r, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
+
+    gx_ref = jax.grad(lambda xx: loss("0", params, xx))(x)
+    gx_fused = jax.grad(lambda xx: loss("1", params, xx))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx_fused), np.asarray(gx_ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_fused_ngram_param_tree_identical(monkeypatch):
+    """Both paths must declare byte-identical parameter trees (checkpoint
+    compatibility across the env gate)."""
+    module = NGramContext(
+        dim=64, window_size=4, ngram=2, ngram_num_heads=6,
+        use_pallas=True, pallas_interpret=True,
+    )
+    x = jnp.zeros((1, 16, 16, 64))
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "0")
+    p0 = module.init(jax.random.PRNGKey(0), x)["params"]
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "1")
+    p1 = module.init(jax.random.PRNGKey(0), x)["params"]
+    s0 = jax.tree_util.tree_structure(p0)
+    s1 = jax.tree_util.tree_structure(p1)
+    assert s0 == s1
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

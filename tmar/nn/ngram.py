@@ -47,6 +47,44 @@ class _GroupedConvParams(nn.Module):
         return kernel, bias
 
 
+class _NGAttnParams(nn.Module):
+    """WindowAttention's exact param tree for the n-gram sliding attention,
+    returned raw for the fused context kernel (tmar.ops.pallas_ngram)."""
+
+    dim: int
+    num_heads: int
+    ngram: int
+
+    @nn.compact
+    def __call__(self):
+        from tmar.nn.window_attention import declare_attention_params
+
+        head_dim = self.dim // self.num_heads
+        attn_dim = head_dim * self.num_heads
+        return declare_attention_params(
+            self, self.dim, self.dim, attn_dim, self.num_heads,
+            (self.ngram, self.ngram), True,
+        )
+
+
+class _ConvParams(nn.Module):
+    """nn.Conv's kernel/bias params (layout + names), returned raw."""
+
+    features: int
+    in_features: int
+    kernel_size: tuple
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", conv_normal_init,
+            (kh, kw, self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class NGramContext(nn.Module):
     dim: int
     window_size: int
@@ -94,6 +132,48 @@ class NGramContext(nn.Module):
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + bias.astype(self.dtype)  # [B, wh, ww, D/2]
+
+        import os
+
+        import jax as _jax
+
+        wh, ww = unigram.shape[1], unigram.shape[2]
+        if (
+            self.ngram == 2
+            and self.use_pallas
+            and self.padding_mode == "seq_refl_win_pad"
+            and wh >= 2
+            and ww >= 2
+            and os.environ.get("TMAR_NGRAM_FUSED", "1") != "0"
+        ):
+            # megakernel: both directional sliding attentions + means +
+            # merge conv in ONE Pallas call (tmar.ops.pallas_ngram); the
+            # custom VJP keeps training on the composition path
+            from tmar.ops.pallas_ngram import fused_ngram_context
+
+            wqkv, bqkv, logit_scale, rpb, wproj, bproj = _NGAttnParams(
+                dim=half, num_heads=self.ngram_num_heads, ngram=self.ngram,
+                name="ngram_attn",
+            )()
+            mk, mb = _ConvParams(
+                features=self.dim, in_features=2 * half, kernel_size=(1, 1),
+                name="merge",
+            )()
+            interpret = self.pallas_interpret or _jax.default_backend() == "cpu"
+            return fused_ngram_context(
+                unigram,
+                wqkv.astype(self.dtype),
+                None if bqkv is None else bqkv.astype(self.dtype),
+                logit_scale, rpb,
+                wproj.astype(self.dtype),
+                None if bproj is None else bproj.astype(self.dtype),
+                mk.reshape(2 * half, self.dim).astype(self.dtype),
+                mb,
+                self.ngram_num_heads,
+                use_pallas_attn=self.use_pallas,
+                attn_backward=self.attn_backward,
+                interpret=interpret,
+            )
 
         attn = WindowAttention(
             dim=half,

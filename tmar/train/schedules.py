@@ -129,12 +129,23 @@ def build_optimizer(base_lr: float, beta1: float = 0.5, beta2: float = 0.999,
                     schedule: Optional[optax.Schedule] = None,
                     grad_clip: Optional[float] = None,
                     llrd: Optional[Dict[str, Any]] = None,
-                    params=None) -> optax.GradientTransformation:
-    """Assemble clip -> adam -> (llrd scaling) with an optional schedule."""
-    chain = []
+                    params=None,
+                    fused: bool = False) -> optax.GradientTransformation:
+    """Assemble clip -> adam -> (llrd scaling) with an optional schedule.
+
+    ``fused=True`` wraps the clip+adam prefix in ``optax.flatten``: the
+    moment/update math runs on ONE ravelled vector instead of one XLA fusion
+    per parameter leaf (504 leaves for the flagship NGswin) — the per-step
+    kernel count is what bounds the b8·128² step (PERF.md train study).
+    LLRD and the schedule scaling stay outside the wrapper (they need the
+    tree structure).  NOTE: changes the optimizer state layout (flat mu/nu),
+    so checkpoints are not interchangeable across this flag.
+    """
+    prefix = []
     if grad_clip:
-        chain.append(optax.clip_by_global_norm(grad_clip))
-    chain.append(optax.scale_by_adam(b1=beta1, b2=beta2))
+        prefix.append(optax.clip_by_global_norm(grad_clip))
+    prefix.append(optax.scale_by_adam(b1=beta1, b2=beta2))
+    chain = [optax.flatten(optax.chain(*prefix))] if fused else prefix
     if llrd and params is not None:
         chain.append(layerwise_lr_decay(params, base_lr, **llrd))
     if schedule is not None:
