@@ -145,6 +145,36 @@ def test_fused_nstb_matches_unfused_on_chip(rng, mapmode, geometry, monkeypatch)
     )
 
 
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 5e-3), (jnp.bfloat16, 6e-2)])
+@pytest.mark.parametrize("grid", [(8, 8), (13, 13)])
+def test_fused_ngram_context_on_chip(rng, dtype, atol, grid, monkeypatch):
+    """N-gram context megakernel (tmar.ops.pallas_ngram) on real hardware vs
+    the unfused composition — covers the reflect-spliced shifted-map halo
+    logic, the one-hot head matmuls (head_dim 5 at the flagship's 32/6
+    split) and the odd 13x13 grid of a 416² slice's stage 3."""
+    from tmar.nn.ngram import NGramContext
+
+    wh, ww = grid
+    ws, D = 8, 64
+    module = NGramContext(
+        dim=D, window_size=ws, ngram=2, ngram_num_heads=6,
+        use_pallas=True, dtype=dtype,
+    )
+    x = jnp.asarray(
+        rng.standard_normal((2, wh * ws, ww * ws, D)).astype(np.float32)
+    )
+    params = module.init(jax.random.PRNGKey(0), x)["params"]
+
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "1")
+    fused = jax.jit(lambda p, xx: module.apply({"params": p}, xx))(params, x)
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "0")
+    ref = jax.jit(lambda p, xx: module.apply({"params": p}, xx))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(ref, np.float32),
+        atol=atol, rtol=atol,
+    )
+
+
 def test_saturated_logit_scale_finite_on_chip(rng):
     """ln(100)-clamped logit scale => logits ~100: the on-chip softmax must
     stay finite (the reverted max-free softmax would NaN exactly here)."""

@@ -117,3 +117,36 @@ def test_loader_with_mesh(mesh8):
     assert b["ct"].shape == (8, 32, 32, 1)
     # batch axis sharded over 8 devices
     assert len(b["ct"].sharding.device_set) == 8
+
+
+def test_fused_optimizer_update_matches_per_leaf(mesh8):
+    """build_optimizer(fused=True) (optax.flatten over clip+adam) must give
+    the same parameters after 2 steps as the per-leaf chain — only the
+    optimizer-state layout may differ (PERF.md kernel-count lever)."""
+    from tmar.train.schedules import build_optimizer
+
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
+    batch = _batch(mesh8, 8)
+
+    results = []
+    for fused in (False, True):
+        g_tx = build_optimizer(1e-4, grad_clip=1.0, fused=fused)
+        d_tx = build_optimizer(2e-4, grad_clip=1.0, fused=fused)
+        state = create_train_state(
+            jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, patch_size=SIZE
+        )
+        step = make_train_step(
+            gen, disc, g_tx, d_tx, LossWeights(dilation_radius=2),
+            mesh=mesh8, donate=False,
+        )
+        for _ in range(2):
+            state, metrics = step(state, batch)
+        results.append((jax.device_get(state.g_params), metrics))
+
+    (p_leaf, m_leaf), (p_flat, m_flat) = results
+    assert abs(float(m_leaf["loss_g"]) - float(m_flat["loss_g"])) < 1e-4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_leaf), jax.tree_util.tree_leaves(p_flat)
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)

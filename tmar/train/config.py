@@ -72,6 +72,11 @@ class OptimConfig:
     # BEiT-style layer-wise LR decay on the GENERATOR (reference
     # train_utils.py:63-188 param groups); None = off
     llrd_decay: Optional[float] = None
+    # run clip+adam on ONE ravelled vector (optax.flatten) instead of one
+    # XLA fusion per param leaf — the b8·128² step is kernel-count-bound
+    # (PERF.md train study).  Changes the optimizer-state layout, so
+    # checkpoints are not interchangeable across this flag.
+    fused_update: bool = False
 
 
 @dataclasses.dataclass

@@ -154,11 +154,12 @@ class Trainer:
             o.lr_g, o.beta1, o.beta2,
             schedule=build_schedule(o, o.lr_g, total_steps),
             grad_clip=o.grad_clip, llrd=llrd, params=g_params_shapes,
+            fused=o.fused_update,
         )
         d_tx = build_optimizer(
             o.lr_d, o.beta1, o.beta2,
             schedule=build_schedule(o, o.lr_d, total_steps),
-            grad_clip=o.grad_clip,
+            grad_clip=o.grad_clip, fused=o.fused_update,
         )
         self.g_tx, self.d_tx = g_tx, d_tx
 
