@@ -150,3 +150,52 @@ def test_fused_optimizer_update_matches_per_leaf(mesh8):
         jax.tree_util.tree_leaves(p_leaf), jax.tree_util.tree_leaves(p_flat)
     ):
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+
+def test_fused_pairs_matches_separate_passes_without_sn(mesh8):
+    """fused_pairs=True (one [real ‖ fake] D pass per loss) must be EXACT
+    when the discriminator has no spectral norm (no batch coupling)."""
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2, use_sn=False)
+    batch = _batch(mesh8, 8)
+
+    results = []
+    for fused in (False, True):
+        g_tx = optax.adam(1e-4, b1=0.5, b2=0.999)
+        d_tx = optax.adam(2e-4, b1=0.5, b2=0.999)
+        state = create_train_state(
+            jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, patch_size=SIZE
+        )
+        step = make_train_step(
+            gen, disc, g_tx, d_tx, LossWeights(dilation_radius=2),
+            mesh=mesh8, donate=False, fused_pairs=fused,
+        )
+        state, metrics = step(state, batch)
+        results.append((jax.device_get(state.g_params), metrics))
+
+    (p_sep, m_sep), (p_fused, m_fused) = results
+    for k in m_sep:
+        assert abs(float(m_sep[k]) - float(m_fused[k])) < 5e-5, k
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_sep), jax.tree_util.tree_leaves(p_fused)
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+
+def test_fused_pairs_with_sn_trains_finite(mesh8):
+    """With SN the fused-pairs step deviates only in power-iteration count;
+    it must still run and produce finite losses."""
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
+    g_tx = optax.adam(1e-4, b1=0.5, b2=0.999)
+    d_tx = optax.adam(2e-4, b1=0.5, b2=0.999)
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, patch_size=SIZE
+    )
+    step = make_train_step(
+        gen, disc, g_tx, d_tx, LossWeights(dilation_radius=2),
+        mesh=mesh8, donate=False, fused_pairs=True,
+    )
+    state, metrics = step(state, _batch(mesh8, 8))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k

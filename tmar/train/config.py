@@ -50,6 +50,10 @@ class DiscConfig:
     num_scales: int = 3          # B1 ablation: 1
     use_sn: bool = True          # B2 ablation: False
     kind: str = "multiscale"     # "multiscale" | "dcgan" | "conditional"
+    # batch each loss's real+fake D applications into ONE pass (2 instead of
+    # 4 per step).  Exact without SN; with SN it halves the power iterations
+    # per step (u/v estimate deviation only).  See make_train_step.
+    fused_pairs: bool = False
 
 
 @dataclasses.dataclass

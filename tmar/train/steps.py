@@ -69,12 +69,20 @@ def make_train_step(
     projector=None,
     mesh=None,
     donate: bool = True,
+    fused_pairs: bool = False,
 ):
     """Build the fused D+G train step.
 
     Returns ``step(state, batch) -> (state, metrics)`` where batch is a dict
     with ``ct`` (corrupted input) and ``gt`` (clean target), both
     [B, H, W, C] in [-1, 1].
+
+    ``fused_pairs=True`` runs each loss's real+fake discriminator
+    applications as ONE batch-concatenated pass (2 D passes per step instead
+    of 4) — exact for the SN-free discriminator (no batch-coupled norms);
+    with spectral norm it halves the power iterations per step (2 instead of
+    the reference's 4 per-forward updates), a deviation in the u/v estimate
+    only.  Kernel-count lever for the dispatch-bound step (PERF.md).
     """
     has_sn = getattr(discriminator, "use_sn", True)
 
@@ -107,11 +115,25 @@ def make_train_step(
         fake_sg = jax.lax.stop_gradient(fake)
         real_pair = jnp.concatenate([ct, real], axis=-1)
 
+        B = ct.shape[0]
+
+        def split_rf(tree):
+            """Split every leaf of a (possibly nested) logits/features
+            structure along the concatenated batch: (real half, fake half)."""
+            real = jax.tree_util.tree_map(lambda l: l[:B], tree)
+            fake = jax.tree_util.tree_map(lambda l: l[B:], tree)
+            return real, fake
+
         # ---------------- D step (G frozen) ---------------------------------
         def d_loss_fn(d_params, d_sn):
             fake_pair = jnp.concatenate([ct, fake_sg], axis=-1)
-            real_logits, _, d_sn = apply_d(d_params, d_sn, real_pair, False)
-            fake_logits, _, d_sn = apply_d(d_params, d_sn, fake_pair, False)
+            if fused_pairs:
+                both = jnp.concatenate([real_pair, fake_pair], axis=0)
+                logits, _, d_sn = apply_d(d_params, d_sn, both, False)
+                real_logits, fake_logits = split_rf(logits)
+            else:
+                real_logits, _, d_sn = apply_d(d_params, d_sn, real_pair, False)
+                fake_logits, _, d_sn = apply_d(d_params, d_sn, fake_pair, False)
             if weights.gan_mode == "hinge":
                 loss = hinge_d_loss(real_logits, fake_logits)
             else:
@@ -128,15 +150,24 @@ def make_train_step(
         # Loss as a function of the generator OUTPUT; g_grads = vjp(dL/dfake).
         def g_out_loss_fn(fake, d_sn):
             fake_pair = jnp.concatenate([ct, fake], axis=-1)
-            fake_logits, fake_feats, d_sn = (
-                apply_d(d_params, d_sn, fake_pair, True)
-                if weights.adv or weights.fm
-                else (None, None, d_sn)
-            )
-            real_feats = None
-            if weights.fm:
-                rl, real_feats, d_sn = apply_d(d_params, d_sn, real_pair, True)
+            fake_logits, fake_feats, real_feats = None, None, None
+            if fused_pairs and weights.fm:
+                # one pass over [real ‖ fake]: gradient flows only through
+                # the fake half (the real half is a constant input)
+                both = jnp.concatenate([real_pair, fake_pair], axis=0)
+                logits, feats, d_sn = apply_d(d_params, d_sn, both, True)
+                _, fake_logits = split_rf(logits)
+                real_feats, fake_feats = split_rf(feats)
                 real_feats = jax.lax.stop_gradient(real_feats)
+            elif weights.adv or weights.fm:
+                fake_logits, fake_feats, d_sn = apply_d(
+                    d_params, d_sn, fake_pair, True
+                )
+                if weights.fm:
+                    rl, real_feats, d_sn = apply_d(
+                        d_params, d_sn, real_pair, True
+                    )
+                    real_feats = jax.lax.stop_gradient(real_feats)
             total, terms = generator_loss(
                 fake, real, ct, fake_logits, fake_feats, real_feats,
                 weights, projector=projector,

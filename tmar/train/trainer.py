@@ -187,6 +187,7 @@ class Trainer:
         self.train_step = make_train_step(
             self.generator, self.discriminator, g_tx, d_tx, cfg.loss,
             projector=projector, mesh=self.mesh,
+            fused_pairs=cfg.disc.fused_pairs,
         )
         self.eval_step = make_eval_step(self.generator, mesh=self.mesh)
 
