@@ -144,7 +144,7 @@ class NGramContext(nn.Module):
             and self.padding_mode == "seq_refl_win_pad"
             and wh >= 2
             and ww >= 2
-            and os.environ.get("TMAR_NGRAM_FUSED", "1") != "0"
+            and os.environ.get("TMAR_NGRAM_FUSED", "0") == "1"
         ):
             # megakernel: both directional sliding attentions + means +
             # merge conv in ONE Pallas call (tmar.ops.pallas_ngram); the

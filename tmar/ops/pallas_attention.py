@@ -1012,6 +1012,19 @@ def batched_attention_core(
         if shift_mask is not None:
             s = s + shift_mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
+        if mode == 4:
+            # ABLATION (TMAR_ATTN_POSTNORM=4): exp/sum/div passes in bf16 —
+            # if the VPU issues packed bf16 ops this halves the issue-bound
+            # softmax chain; numerically lossy (8-bit mantissa through the
+            # exp and the normalisation sum), measurement-only.
+            eb = jnp.exp(s.astype(jnp.bfloat16))
+            p = eb / jnp.sum(eb, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            head_outs.append(o.reshape(TN, hd_p))
+            continue
         e = jnp.exp(s)
         if mode == 3:
             # MXU-sum post-AV normalisation (ablation-only, measured
