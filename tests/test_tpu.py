@@ -213,6 +213,40 @@ def test_fused_ffn_matches_on_chip(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3, rtol=3e-3)
 
 
+def test_fused_ffn_backward_on_chip(rng):
+    """Fused FFN recompute-backward kernel vs jax.vjp of the math path on
+    real hardware (bf16-operand dots both sides)."""
+    from tmar.ops.pallas_ffn import ffn_math, fused_residual_ffn
+
+    M, D, H = 1024, 64, 128
+    x = jnp.asarray(rng.standard_normal((M, D)).astype(np.float32))
+    ao = jnp.asarray(rng.standard_normal((M, D)).astype(np.float32))
+    g1 = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.1 + 1)
+    b1 = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.standard_normal((D, H)).astype(np.float32) * 0.1)
+    bb1 = jnp.asarray(rng.standard_normal((H,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((H, D)).astype(np.float32) * 0.1)
+    bb2 = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.1)
+    g2 = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.1 + 1)
+    b2 = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.1)
+    args = (x, ao, g1, b1, w1, bb1, w2, bb2, g2, b2)
+
+    def loss_pallas(*a):
+        out = fused_residual_ffn(*a, backward="pallas")
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_math(*a):
+        return jnp.sum(ffn_math(*a) * jnp.sin(ffn_math(*a)))
+
+    gp = jax.jit(jax.grad(loss_pallas, argnums=tuple(range(10))))(*args)
+    gm = jax.jit(jax.grad(loss_math, argnums=tuple(range(10))))(*args)
+    for i, (a, b) in enumerate(zip(gp, gm)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-2,
+            err_msg=f"cotangent {i}",
+        )
+
+
 def test_radon_adjoint_identity_on_chip(rng):
     """<A x, y> == <x, Aᵀ y> on hardware (HIGHEST-precision einsum path)."""
     from tmar.ops import Radon

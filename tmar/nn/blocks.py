@@ -153,6 +153,10 @@ class NSTB(nn.Module):
                 w2.astype(self.dtype), bw2,
                 g2[0], g2[1],
                 interpret=interpret,
+                # training on the pallas kernels: keep the pallas forward as
+                # the primal and run the fused recompute backward (one kernel
+                # for all ten cotangents instead of the ~10-kernel XLA chain)
+                backward="pallas" if self.attn_backward == "pallas" else None,
             )
             return x_in, z.reshape(B, p, D)
 
