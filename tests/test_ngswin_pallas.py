@@ -71,3 +71,39 @@ def test_pallas_backward_model_grad_matches_xla(rng):
         np.asarray(flat_p) / scale, np.asarray(flat_x) / scale,
         atol=2e-4, rtol=5e-4,
     )
+
+
+def test_ngram_megakernel_model_grad_matches_xla(rng, monkeypatch):
+    """TMAR_NGRAM_FUSED=1 + attn_backward="pallas": context megakernel primal
+    with the fused recompute backward — full-model outputs AND gradients must
+    match the pure-XLA model."""
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "1")
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 1)).astype(np.float32))
+    m_xla = NGswin(**TINY)
+    m_pl = NGswin(**TINY, use_pallas_attention=True, pallas_interpret=True,
+                  attn_backward="pallas")
+    params = m_xla.init(jax.random.PRNGKey(0), x)["params"]
+
+    out_xla = m_xla.apply({"params": params}, x)
+    out_pl = m_pl.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_pl), np.asarray(out_xla), atol=5e-5, rtol=1e-4
+    )
+
+    def loss(m, p):
+        out = m.apply({"params": p}, x)
+        return jnp.mean(jnp.square(out)) + jnp.mean(jnp.abs(out))
+
+    g_xla = jax.grad(lambda p: loss(m_xla, p))(params)
+    g_pl = jax.grad(lambda p: loss(m_pl, p))(params)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_xla)
+    flat_p = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(g_pl)
+    )
+    for k, a in flat_x:
+        b = flat_p[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4,
+            err_msg=jax.tree_util.keystr(k),
+        )

@@ -87,3 +87,43 @@ def test_fused_ngram_param_tree_identical(monkeypatch):
     assert s0 == s1
     for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("dim,heads,wh,ww", [(64, 6, 4, 4), (64, 4, 3, 5), (32, 2, 2, 2)])
+def test_fused_ngram_backward_kernel_matches_math(dim, heads, wh, ww):
+    """backward="pallas" (fused recompute backward kernel) must match the
+    jax.vjp of the composition math for ALL nine cotangents + the input."""
+    from tmar.nn.window_attention import declare_attention_params  # noqa: F401
+    from tmar.ops.attention import gather_rel_pos_bias, relative_position_index
+    from tmar.ops.pallas_ngram import fused_ngram_context
+
+    half = dim // 2
+    hd = half // heads
+    A = hd * heads
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((2, wh, ww, half)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((half, 3 * A)).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.standard_normal((3 * A,)).astype(np.float32) * 0.1)
+    ls = jnp.asarray(rng.standard_normal((heads, 1, 1)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((9, heads)).astype(np.float32) * 0.02)
+    bias = gather_rel_pos_bias(table, relative_position_index(2, 2), heads)
+    wproj = jnp.asarray(rng.standard_normal((A, half)).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.standard_normal((half,)).astype(np.float32) * 0.1)
+    wmerge = jnp.asarray(rng.standard_normal((dim, dim)).astype(np.float32) * 0.2)
+    bmerge = jnp.asarray(rng.standard_normal((dim,)).astype(np.float32) * 0.1)
+    args = (u, wqkv, bqkv, ls, bias, wproj, bproj, wmerge, bmerge)
+
+    def loss(mode, *a):
+        out = fused_ngram_context(
+            *a, heads, interpret=True, backward=mode,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    gp = jax.grad(lambda *a: loss("pallas", *a), argnums=tuple(range(9)))(*args)
+    gm = jax.grad(lambda *a: loss(None, *a), argnums=tuple(range(9)))(*args)
+    names = ["u", "wqkv", "bqkv", "logit_scale", "bias", "wproj", "bproj",
+             "wmerge", "bmerge"]
+    for nm, a, b in zip(names, gp, gm):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5, err_msg=nm
+        )

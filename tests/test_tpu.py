@@ -269,3 +269,39 @@ def test_radon_adjoint_identity_on_chip(rng):
     rec = np.asarray(jax.jit(radon.fbp)(jax.jit(radon.forward)(jnp.asarray(img))))
     assert np.isfinite(rec).all()
     assert rec[0, 32, 32] > rec[0, 4, 4]
+
+
+def test_fused_ngram_backward_on_chip(rng):
+    """Fused ngram recompute-backward kernel (backward="pallas") vs jax.vjp
+    of the unfused composition on real hardware — all nine parameter
+    cotangents + the input grad at bf16-operand-dot tolerances."""
+    from tmar.ops.attention import gather_rel_pos_bias, relative_position_index
+    from tmar.ops.pallas_ngram import fused_ngram_context
+
+    dim, heads, wh, ww = 64, 6, 8, 8
+    half = dim // 2
+    A = (half // heads) * heads
+    u = jnp.asarray(rng.standard_normal((2, wh, ww, half)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((half, 3 * A)).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.standard_normal((3 * A,)).astype(np.float32) * 0.1)
+    ls = jnp.asarray(rng.standard_normal((heads, 1, 1)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((9, heads)).astype(np.float32) * 0.02)
+    bias = gather_rel_pos_bias(table, relative_position_index(2, 2), heads)
+    wproj = jnp.asarray(rng.standard_normal((A, half)).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.standard_normal((half,)).astype(np.float32) * 0.1)
+    wmerge = jnp.asarray(rng.standard_normal((dim, dim)).astype(np.float32) * 0.2)
+    bmerge = jnp.asarray(rng.standard_normal((dim,)).astype(np.float32) * 0.1)
+    args = (u, wqkv, bqkv, ls, bias, wproj, bproj, wmerge, bmerge)
+
+    def loss(mode, *a):
+        out = fused_ngram_context(*a, 6, backward=mode)
+        return jnp.sum(out * jnp.cos(out))
+
+    gp = jax.jit(jax.grad(lambda *a: loss("pallas", *a), argnums=tuple(range(9))))(*args)
+    gm = jax.jit(jax.grad(lambda *a: loss(None, *a), argnums=tuple(range(9))))(*args)
+    names = ["u", "wqkv", "bqkv", "logit_scale", "bias", "wproj", "bproj",
+             "wmerge", "bmerge"]
+    for nm, a, b in zip(names, gp, gm):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-2, err_msg=nm
+        )

@@ -173,6 +173,10 @@ class NGramContext(nn.Module):
                 use_pallas_attn=self.use_pallas,
                 attn_backward=self.attn_backward,
                 interpret=interpret,
+                # training on the pallas kernels: megakernel primal + fused
+                # recompute backward (2 kernels/block instead of the ~30-XLA-
+                # kernel context fwd+bwd swarm)
+                backward="pallas" if self.attn_backward == "pallas" else None,
             )
 
         attn = WindowAttention(

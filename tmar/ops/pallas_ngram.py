@@ -112,6 +112,7 @@ def fused_ngram_context(
     use_pallas_attn: bool = False,
     attn_backward: str = "auto",
     interpret: bool = False,
+    backward: Optional[str] = None,
 ) -> jnp.ndarray:
     """u: [B, wh, ww, C] unigram grid -> context [B, wh, ww, D] where
     D = wmerge.shape[-1].  ngram == 2 only (the flagship config; callers
@@ -119,6 +120,13 @@ def fused_ngram_context(
 
     wqkv [C, 3A], logit_scale [nh, 1, 1] (raw log-domain), bias [nh, 4, 4]
     (gathered RPB), wproj [A, C], wmerge [2C, D] (squeezed 1x1 conv kernel).
+
+    ``backward``: None/"auto" = under differentiation the primal+backward
+    run through the unfused composition (incl. its per-window pallas
+    kernels with ``attn_backward``); "pallas" = the megakernel stays the
+    primal and the backward runs the fused recompute kernel
+    (_ngram_bwd_kernel) — two kernels per block instead of the ~30-XLA-
+    kernel fwd+bwd context swarm, for the kernel-count-bound train step.
     """
     B, wh, ww, C = u.shape
     assert wh >= 2 and ww >= 2, "fused ngram context needs a >=2x2 window grid"
@@ -145,14 +153,31 @@ def fused_ngram_context(
             attn_backward=attn_backward, interpret=interpret,
         )
 
-    def op_fwd(*a):
-        # only runs UNDER DIFFERENTIATION: keep training on the composition
-        # path (incl. its per-window pallas backward kernels)
-        return math_fn(*a), a
+    if backward == "pallas":
+        def op_fwd(*a):
+            return (
+                _forward(
+                    a[0], a[1], a[2] if has_bqkv else None, a[3], a[4], a[5],
+                    a[6] if has_bproj else None, a[7], a[8],
+                    num_heads=num_heads, interpret=interpret,
+                ),
+                a,
+            )
 
-    def op_bwd(res, g):
-        _, vjp = jax.vjp(math_fn, *res)
-        return vjp(g.astype(res[0].dtype))
+        def op_bwd(res, g):
+            return _backward(
+                *res, g, num_heads=num_heads, interpret=interpret,
+                has_bqkv=has_bqkv, has_bproj=has_bproj,
+            )
+    else:
+        def op_fwd(*a):
+            # only runs UNDER DIFFERENTIATION: keep training on the
+            # composition path (incl. its per-window pallas bwd kernels)
+            return math_fn(*a), a
+
+        def op_bwd(res, g):
+            _, vjp = jax.vjp(math_fn, *res)
+            return vjp(g.astype(res[0].dtype))
 
     op.defvjp(op_fwd, op_bwd)
     return op(
@@ -234,6 +259,121 @@ def _forward(
     return out
 
 
+def _backward(
+    u, wqkv, bqkv, logit_scale, bias, wproj, bproj, wmerge, bmerge, g,
+    *, num_heads, interpret, has_bqkv, has_bproj,
+):
+    """Fused recompute backward of the context megakernel: ONE kernel per
+    image emits every cotangent (du plus all nine parameter grads, the
+    latter grid-accumulated in f32)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tmar.ops.attention import LOGIT_SCALE_MAX
+
+    B, wh, ww, C = u.shape
+    A3 = wqkv.shape[1]
+    A = A3 // 3
+    nh = num_heads
+    D = wmerge.shape[1]
+    cd = u.dtype
+    g = g.astype(cd)
+
+    wq, wk, wv = jnp.split(wqkv, 3, axis=1)
+    bq, bk, bv = (b.reshape(1, A) for b in jnp.split(bqkv, 3))
+    scale = jnp.exp(
+        jnp.clip(logit_scale.astype(jnp.float32), max=LOGIT_SCALE_MAX)
+    ).reshape(1, nh)
+    bias_pq = bias.astype(jnp.float32).transpose(1, 2, 0).reshape(16, nh)
+    wm_f, wm_b = wmerge[:C], wmerge[C:]
+    bp = bproj.reshape(1, C)
+
+    kernel = functools.partial(
+        _ngram_bwd_kernel, wh=wh, ww=ww, C=C, A=A, nh=nh, D=D,
+    )
+    c0 = lambda b: (0, 0)  # noqa: E731
+    mat_in = [
+        (wq, (C, A)), (wk, (C, A)), (wv, (C, A)),
+        (bq, (1, A)), (bk, (1, A)), (bv, (1, A)),
+        (scale, (1, nh)), (bias_pq, (16, nh)),
+        (wproj, (A, C)), (bp, (1, C)),
+        (wm_f, (C, D)), (wm_b, (C, D)),
+        # pre-transposed weights for the input-gradient dots
+        (wq.T, (A, C)), (wk.T, (A, C)), (wv.T, (A, C)),
+        (wproj.T, (C, A)), (wm_f.T, (D, C)), (wm_b.T, (D, C)),
+        (jnp.asarray(_head_onehot(A, nh)), (A, nh)),
+        (jnp.asarray(_head_onehot(A, nh).T), (nh, A)),
+    ]
+    out_decl = [
+        ((B, wh, ww, C), cd, pl.BlockSpec((1, wh, ww, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)),
+        ((C, A), jnp.float32, pl.BlockSpec((C, A), c0, memory_space=pltpu.VMEM)),   # dwq
+        ((C, A), jnp.float32, pl.BlockSpec((C, A), c0, memory_space=pltpu.VMEM)),   # dwk
+        ((C, A), jnp.float32, pl.BlockSpec((C, A), c0, memory_space=pltpu.VMEM)),   # dwv
+        ((1, A), jnp.float32, pl.BlockSpec((1, A), c0, memory_space=pltpu.VMEM)),   # dbq
+        ((1, A), jnp.float32, pl.BlockSpec((1, A), c0, memory_space=pltpu.VMEM)),   # dbk
+        ((1, A), jnp.float32, pl.BlockSpec((1, A), c0, memory_space=pltpu.VMEM)),   # dbv
+        ((1, nh), jnp.float32, pl.BlockSpec((1, nh), c0, memory_space=pltpu.VMEM)), # dscale(exp)
+        ((16, nh), jnp.float32, pl.BlockSpec((16, nh), c0, memory_space=pltpu.VMEM)),  # dbias_pq
+        ((A, C), jnp.float32, pl.BlockSpec((A, C), c0, memory_space=pltpu.VMEM)),   # dwproj
+        ((1, C), jnp.float32, pl.BlockSpec((1, C), c0, memory_space=pltpu.VMEM)),   # dbproj
+        ((C, D), jnp.float32, pl.BlockSpec((C, D), c0, memory_space=pltpu.VMEM)),   # dwm_f
+        ((C, D), jnp.float32, pl.BlockSpec((C, D), c0, memory_space=pltpu.VMEM)),   # dwm_b
+        ((1, D), jnp.float32, pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM)),   # dbm
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, wh, ww, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wh, ww, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(shape, c0, memory_space=pltpu.VMEM) for _, shape in mat_in],
+        out_specs=[spec for _, _, spec in out_decl],
+        out_shape=[jax.ShapeDtypeStruct(shape, dt) for shape, dt, _ in out_decl],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(
+        u, g,
+        wq.astype(cd), wk.astype(cd), wv.astype(cd),
+        bq.astype(jnp.float32), bk.astype(jnp.float32), bv.astype(jnp.float32),
+        scale, bias_pq,
+        wproj.astype(cd), bp.astype(jnp.float32),
+        wm_f.astype(cd), wm_b.astype(cd),
+        wq.T.astype(cd), wk.T.astype(cd), wv.T.astype(cd),
+        wproj.T.astype(cd), wm_f.T.astype(cd), wm_b.T.astype(cd),
+        jnp.asarray(_head_onehot(A, nh)).astype(cd),
+        jnp.asarray(_head_onehot(A, nh).T).astype(cd),
+    )
+    (du, dwq_, dwk_, dwv_, dbq_, dbk_, dbv_, dscale_e, dbias_pq_, dwproj_,
+     dbproj_, dwm_f_, dwm_b_, dbm_) = outs
+
+    dwqkv = jnp.concatenate([dwq_, dwk_, dwv_], axis=1).astype(wqkv.dtype)
+    dbqkv = jnp.concatenate(
+        [dbq_[0], dbk_[0], dbv_[0]]
+    ).astype(bqkv.dtype)
+    # route the scale grad through exp(clip(·)); un-transpose the RPB grad
+    _, vjp_scale = jax.vjp(
+        lambda t: jnp.exp(
+            jnp.clip(t.astype(jnp.float32), max=LOGIT_SCALE_MAX)
+        ).reshape(1, nh),
+        logit_scale,
+    )
+    (dls,) = vjp_scale(dscale_e)
+    dbias = dbias_pq_.reshape(4, 4, nh).transpose(2, 0, 1).astype(bias.dtype)
+    return (
+        du,
+        dwqkv,
+        dbqkv if has_bqkv else jnp.zeros_like(bqkv),
+        dls.astype(logit_scale.dtype),
+        dbias,
+        dwproj_.astype(wproj.dtype),
+        (dbproj_.reshape(C) if has_bproj else jnp.zeros_like(bproj)).astype(bproj.dtype),
+        jnp.concatenate([dwm_f_, dwm_b_], axis=0).astype(wmerge.dtype),
+        dbm_.reshape(D).astype(bmerge.dtype),
+    )
+
+
 def _shift_tokens_fwd(t3, wh, ww):
     """Token maps for the FORWARD sliding window at each grid position:
     t = (di, dj) row-major over {0,1}^2 -> map shifted by (di, dj) with the
@@ -255,6 +395,298 @@ def _shift_tokens_bwd(t3, wh, ww):
     up = jnp.concatenate([t3[1:2, :, :], t3[: wh - 1, :, :]], axis=0)
     upleft = jnp.concatenate([left[1:2, :, :], left[: wh - 1, :, :]], axis=0)
     return [upleft, up, left, t3]
+
+
+def _zeros_rows(n, ww, X, dt):
+    return jnp.zeros((n, ww, X), dt)
+
+
+def _zeros_cols(wh, n, X, dt):
+    return jnp.zeros((wh, n, X), dt)
+
+
+def _right_T(dy, wh, ww):
+    """Transpose of the forward 'right' shift (col j+1, reflect ww-2):
+    dx[:, 1:] = dy[:, :ww-1]; dx[:, ww-2] += dy[:, ww-1]."""
+    X, dt = dy.shape[-1], dy.dtype
+    base = jnp.concatenate([_zeros_cols(wh, 1, X, dt), dy[:, : ww - 1, :]], axis=1)
+    refl_pieces = []
+    if ww - 2 > 0:
+        refl_pieces.append(_zeros_cols(wh, ww - 2, X, dt))
+    refl_pieces.append(dy[:, ww - 1 : ww, :])
+    refl_pieces.append(_zeros_cols(wh, 1, X, dt))
+    return base + jnp.concatenate(refl_pieces, axis=1)
+
+
+def _down_T(dy, wh, ww):
+    """Transpose of the forward 'down' shift (row i+1, reflect wh-2)."""
+    X, dt = dy.shape[-1], dy.dtype
+    base = jnp.concatenate([_zeros_rows(1, ww, X, dt), dy[: wh - 1, :, :]], axis=0)
+    refl_pieces = []
+    if wh - 2 > 0:
+        refl_pieces.append(_zeros_rows(wh - 2, ww, X, dt))
+    refl_pieces.append(dy[wh - 1 : wh, :, :])
+    refl_pieces.append(_zeros_rows(1, ww, X, dt))
+    return base + jnp.concatenate(refl_pieces, axis=0)
+
+
+def _left_T(dy, wh, ww):
+    """Transpose of the backward 'left' shift (col j-1, reflect col 1):
+    dx[:, :ww-1] = dy[:, 1:]; dx[:, 1] += dy[:, 0]."""
+    X, dt = dy.shape[-1], dy.dtype
+    base = jnp.concatenate([dy[:, 1:, :], _zeros_cols(wh, 1, X, dt)], axis=1)
+    refl_pieces = [_zeros_cols(wh, 1, X, dt), dy[:, 0:1, :]]
+    if ww - 2 > 0:
+        refl_pieces.append(_zeros_cols(wh, ww - 2, X, dt))
+    return base + jnp.concatenate(refl_pieces, axis=1)
+
+
+def _up_T(dy, wh, ww):
+    """Transpose of the backward 'up' shift (row i-1, reflect row 1)."""
+    X, dt = dy.shape[-1], dy.dtype
+    base = jnp.concatenate([dy[1:, :, :], _zeros_rows(1, ww, X, dt)], axis=0)
+    refl_pieces = [_zeros_rows(1, ww, X, dt), dy[0:1, :, :]]
+    if wh - 2 > 0:
+        refl_pieces.append(_zeros_rows(wh - 2, ww, X, dt))
+    return base + jnp.concatenate(refl_pieces, axis=0)
+
+
+def _unshift_add_fwd(grads, wh, ww):
+    """Scatter-add FORWARD-direction shifted cotangents [t0..t3] back to map
+    coordinates: transposes of [id, R, D, D∘R]."""
+    g0, g1, g2, g3 = grads
+    return (
+        g0
+        + _right_T(g1, wh, ww)
+        + _down_T(g2, wh, ww)
+        + _right_T(_down_T(g3, wh, ww), wh, ww)
+    )
+
+
+def _unshift_add_bwd(grads, wh, ww):
+    """Scatter-add BACKWARD-direction shifted cotangents [t0..t3] back:
+    transposes of [U∘L, U, L, id]."""
+    g0, g1, g2, g3 = grads
+    return (
+        _left_T(_up_T(g0, wh, ww), wh, ww)
+        + _up_T(g1, wh, ww)
+        + _left_T(g2, wh, ww)
+        + g3
+    )
+
+
+def _ngram_bwd_kernel(
+    x_ref, g_ref,
+    wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    scale_ref, biaspq_ref, wproj_ref, bproj_ref, wmf_ref, wmb_ref,
+    wqT_ref, wkT_ref, wvT_ref, wprojT_ref, wmfT_ref, wmbT_ref,
+    h1_ref, h1t_ref,
+    du_ref, dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
+    dscale_ref, dbias_ref, dwproj_ref, dbproj_ref, dwmf_ref, dwmb_ref,
+    dbm_ref, *, wh, ww, C, A, nh, D,
+):
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        for r in (dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
+                  dscale_ref, dbias_ref, dwproj_ref, dbproj_ref, dwmf_ref,
+                  dwmb_ref, dbm_ref):
+            r[:] = jnp.zeros_like(r)
+
+    R = wh * ww
+    cd = x_ref.dtype
+    h1_cd = h1_ref[:]
+    h1t_cd = h1t_ref[:]
+    scale = scale_ref[:]
+
+    # ---- recompute the forward (same op sequence as _ngram_kernel) -------
+    u2 = x_ref[0].reshape(R, C)
+
+    def _proj(w_ref, b_ref):
+        return jnp.dot(u2, w_ref[:], preferred_element_type=jnp.float32) + b_ref[:]
+
+    q = _proj(wq_ref, bq_ref)
+    k = _proj(wk_ref, bk_ref)
+    v = _proj(wv_ref, bv_ref).astype(cd)
+
+    def _norm_state(t):
+        n2 = jnp.dot(
+            jnp.square(t).astype(cd), h1_cd, preferred_element_type=jnp.float32
+        )                                            # [R, nh] = r²
+        r = jnp.sqrt(n2)
+        inv = (r + 1e-12).astype(cd) ** -1           # [R, nh]
+        invA = jnp.dot(inv, h1t_cd, preferred_element_type=jnp.float32)
+        tn = (t * invA).astype(cd)
+        return tn, r, inv
+
+    qn, q_r, q_inv = _norm_state(q)
+    kn, k_r, k_inv = _norm_state(k)
+
+    qn3 = qn.reshape(wh, ww, A)
+    kn3 = kn.reshape(wh, ww, A)
+    v3 = v.reshape(wh, ww, A)
+
+    dm = g_ref[0].reshape(R, D).astype(jnp.float32)
+    dbm_ref[:] += jnp.sum(dm, axis=0, keepdims=True)
+    dmc = dm.astype(cd)
+
+    dqn_map = jnp.zeros((wh, ww, A), jnp.float32)
+    dkn_map = jnp.zeros((wh, ww, A), jnp.float32)
+    dv_map = jnp.zeros((wh, ww, A), jnp.float32)
+
+    for direction in ("fwd", "bwd"):
+        shift_fn = _shift_tokens_fwd if direction == "fwd" else _shift_tokens_bwd
+        unshift = _unshift_add_fwd if direction == "fwd" else _unshift_add_bwd
+        wm_ref, wmT_ref, dwm_ref = (
+            (wmf_ref, wmfT_ref, dwmf_ref) if direction == "fwd"
+            else (wmb_ref, wmbT_ref, dwmb_ref)
+        )
+
+        qs = [t.reshape(R, A) for t in shift_fn(qn3, wh, ww)]
+        ks = [t.reshape(R, A) for t in shift_fn(kn3, wh, ww)]
+        vs = [t.reshape(R, A) for t in shift_fn(v3, wh, ww)]
+
+        # ---- forward through this direction (keep softmax weights) -------
+        acc = jnp.zeros((R, A), jnp.float32)
+        a_all = []
+        cos_all = []
+        for p in range(4):
+            cos_p = []
+            s = []
+            for qi in range(4):
+                prod = (qs[p] * ks[qi]).astype(cd)
+                cos = jnp.dot(prod, h1_cd, preferred_element_type=jnp.float32)
+                cos_p.append(cos)
+                s.append(cos * scale + biaspq_ref[4 * p + qi : 4 * p + qi + 1, :])
+            m = jnp.maximum(jnp.maximum(s[0], s[1]), jnp.maximum(s[2], s[3]))
+            e = [jnp.exp(si - m) for si in s]
+            z = e[0] + e[1] + e[2] + e[3]
+            inv_z = 1.0 / z
+            a_p = [ei * inv_z for ei in e]           # [R, nh] f32
+            a_all.append(a_p)
+            cos_all.append(cos_p)
+            for qi in range(4):
+                aA = jnp.dot(
+                    a_p[qi].astype(cd), h1t_cd, preferred_element_type=jnp.float32
+                )
+                acc = acc + aA.astype(cd).astype(jnp.float32) * vs[qi].astype(
+                    jnp.float32
+                )
+        mean = (acc * 0.25).astype(cd)
+        ctx = (
+            jnp.dot(mean, wproj_ref[:], preferred_element_type=jnp.float32)
+            + bproj_ref[:]
+        ).astype(cd)                                 # [R, C]
+
+        # ---- backward through merge + proj -------------------------------
+        dwm_ref[:] += jax.lax.dot_general(           # ctxᵀ @ dm
+            ctx, dmc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dctx = jnp.dot(dmc, wmT_ref[:], preferred_element_type=jnp.float32)
+        dbproj_ref[:] += jnp.sum(dctx, axis=0, keepdims=True)
+        dctxc = dctx.astype(cd)
+        dwproj_ref[:] += jax.lax.dot_general(        # meanᵀ @ dctx
+            mean, dctxc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dacc = (
+            jnp.dot(dctxc, wprojT_ref[:], preferred_element_type=jnp.float32)
+            * 0.25
+        )                                            # [R, A] f32
+        daccc = dacc.astype(cd)
+
+        # ---- backward through attention ----------------------------------
+        dqn_sh = [jnp.zeros((R, A), jnp.float32) for _ in range(4)]
+        dkn_sh = [jnp.zeros((R, A), jnp.float32) for _ in range(4)]
+        dv_sh = [jnp.zeros((R, A), jnp.float32) for _ in range(4)]
+        for p in range(4):
+            a_p = a_all[p]
+            da_p = []
+            for qi in range(4):
+                # dv_q += expand(a_pq) * dacc ; da_pq = <dacc, v_q> per head
+                aA = jnp.dot(
+                    a_p[qi].astype(cd), h1t_cd, preferred_element_type=jnp.float32
+                )
+                dv_sh[qi] = dv_sh[qi] + aA * dacc
+                da = jnp.dot(
+                    (daccc * vs[qi]).astype(cd), h1_cd,
+                    preferred_element_type=jnp.float32,
+                )
+                da_p.append(da)
+            inner = (
+                a_p[0] * da_p[0] + a_p[1] * da_p[1]
+                + a_p[2] * da_p[2] + a_p[3] * da_p[3]
+            )
+            for qi in range(4):
+                ds = a_p[qi] * (da_p[qi] - inner)    # [R, nh] f32
+                dbias_ref[4 * p + qi : 4 * p + qi + 1, :] += jnp.sum(
+                    ds, axis=0, keepdims=True
+                )
+                dscale_ref[:] += jnp.sum(
+                    ds * cos_all[p][qi], axis=0, keepdims=True
+                )
+                dprodA = jnp.dot(
+                    (ds * scale).astype(cd), h1t_cd,
+                    preferred_element_type=jnp.float32,
+                )                                    # [R, A]
+                dqn_sh[p] = dqn_sh[p] + dprodA * ks[qi].astype(jnp.float32)
+                dkn_sh[qi] = dkn_sh[qi] + dprodA * qs[p].astype(jnp.float32)
+
+        dqn_map = dqn_map + _unshift_add_fwd_or(unshift, dqn_sh, wh, ww, A)
+        dkn_map = dkn_map + _unshift_add_fwd_or(unshift, dkn_sh, wh, ww, A)
+        dv_map = dv_map + _unshift_add_fwd_or(unshift, dv_sh, wh, ww, A)
+
+    # ---- backward through the L2 norms -----------------------------------
+    dqn_flat = dqn_map.reshape(R, A)
+    dkn_flat = dkn_map.reshape(R, A)
+    dv_flat = dv_map.reshape(R, A)
+
+    def _norm_bwd(dn, t, r, inv):
+        # n = t * s, s = 1/(r + eps), r = sqrt(Σ_head t²):
+        # dt = s·dn − t · (⟨dn, t⟩_head · s² / r)
+        inv32 = inv.astype(jnp.float32)
+        g_h = jnp.dot(
+            (dn * t).astype(cd), h1_cd, preferred_element_type=jnp.float32
+        )                                            # [R, nh]
+        factor = g_h * inv32 * inv32 / r
+        invA = jnp.dot(
+            inv.astype(cd), h1t_cd, preferred_element_type=jnp.float32
+        )
+        factorA = jnp.dot(
+            factor.astype(cd), h1t_cd, preferred_element_type=jnp.float32
+        )
+        return dn * invA - t * factorA
+
+    dq = _norm_bwd(dqn_flat, q, q_r, q_inv)          # [R, A] f32
+    dk = _norm_bwd(dkn_flat, k, k_r, k_inv)
+    dv2 = dv_flat
+
+    # ---- backward through the qkv projections ----------------------------
+    du = jnp.zeros((R, C), jnp.float32)
+    for dgrad, wT_ref, dw_ref, db_ref in (
+        (dq, wqT_ref, dwq_ref, dbq_ref),
+        (dk, wkT_ref, dwk_ref, dbk_ref),
+        (dv2, wvT_ref, dwv_ref, dbv_ref),
+    ):
+        dc = dgrad.astype(cd)
+        db_ref[:] += jnp.sum(dgrad, axis=0, keepdims=True)
+        dw_ref[:] += jax.lax.dot_general(            # u2ᵀ @ dgrad
+            u2, dc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        du = du + jnp.dot(dc, wT_ref[:], preferred_element_type=jnp.float32)
+
+    du_ref[0] = du.astype(du_ref.dtype).reshape(wh, ww, C)
+
+
+def _unshift_add_fwd_or(unshift, grads_flat, wh, ww, A):
+    """grads_flat: four [R, A] shifted-coordinate cotangents -> one
+    [wh, ww, A] map-coordinate accumulation via the direction's transpose."""
+    return unshift([t.reshape(wh, ww, A) for t in grads_flat], wh, ww)
 
 
 def _ngram_kernel(
