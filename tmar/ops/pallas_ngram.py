@@ -24,12 +24,21 @@ token means and the merge conv — in ONE Pallas call per image, operating in
 * the [2C, D] merge conv is split into two [C, D] matmuls (fwd/bwd halves),
   avoiding the lane-dim concat Mosaic restricts.
 
-Differentiation: like tmar.ops.pallas_nstb, the custom VJP's op_fwd — which
-only runs when the op is differentiated — delegates to the exact composition
-NGramContext uses today (seq_refl pad + sliding patches + window attention +
-mean + merge), including the per-window Pallas attention kernels with the
-configured ``attn_backward`` mode, so TRAINING numerics and performance are
-byte-identical to the unfused path; inference (no grad) gets the megakernel.
+Differentiation has two modes (``backward`` arg):
+
+* default (None/"auto"): the custom VJP's op_fwd — which only runs when the
+  op is differentiated — delegates to the exact composition NGramContext
+  uses today (seq_refl pad + sliding patches + window attention + mean +
+  merge), including the per-window Pallas attention kernels with the
+  configured ``attn_backward`` mode, so TRAINING numerics and performance
+  are byte-identical to the unfused path; inference (no grad) gets the
+  megakernel.
+* ``backward="pallas"``: the megakernel stays the training primal and the
+  backward runs ``_ngram_bwd_kernel`` — one fused recompute kernel per
+  image emitting all nine parameter cotangents + du (2 kernels/block
+  instead of the ~30-XLA-kernel context fwd+bwd swarm).  Numerics then
+  match the composition to recompute-VJP tolerances (~3e-4 f32, tested),
+  not byte-identically.
 """
 
 from __future__ import annotations
@@ -186,24 +195,16 @@ def fused_ngram_context(
     )
 
 
-def _forward(
-    u, wqkv, bqkv, logit_scale, bias, wproj, bproj, wmerge, bmerge,
-    *, num_heads, interpret,
+def _prep_params(
+    wqkv, bqkv, logit_scale, bias, wproj, bproj, wmerge, bmerge,
+    *, C, A, nh, D, cd,
 ):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+    """Host-side param prep shared by ``_forward`` and ``_backward``: split
+    qkv, squeeze the merge conv into fwd/bwd halves, pre-exp the clipped
+    logit scale, flatten the RPB to per-(p, q) rows.  The recompute backward
+    MUST prep identically to the primal — keep this the single source."""
     from tmar.ops.attention import LOGIT_SCALE_MAX
 
-    B, wh, ww, C = u.shape
-    A3 = wqkv.shape[1]
-    A = A3 // 3
-    nh = num_heads
-    D = wmerge.shape[1]
-    cd = u.dtype
-
-    # host-side param prep: split qkv, squeeze conv, pre-exp the logit scale,
-    # flatten the RPB to per-(p, q) rows
     wq, wk, wv = jnp.split(wqkv, 3, axis=1)
     if bqkv is None:
         bq = bk = bv = jnp.zeros((1, A), jnp.float32)
@@ -215,47 +216,63 @@ def _forward(
     bias_pq = bias.astype(jnp.float32).transpose(1, 2, 0).reshape(16, nh)
     wm_f, wm_b = wmerge[:C], wmerge[C:]
     bp = (bproj if bproj is not None else jnp.zeros((C,))).reshape(1, C)
+    h1 = jnp.asarray(_head_onehot(A, nh))
+    return dict(
+        wq=wq.astype(cd), wk=wk.astype(cd), wv=wv.astype(cd),
+        bq=bq.astype(jnp.float32), bk=bk.astype(jnp.float32),
+        bv=bv.astype(jnp.float32),
+        scale=scale, bias_pq=bias_pq,
+        wproj=wproj.astype(cd), bp=bp.astype(jnp.float32),
+        wm_f=wm_f.astype(cd), wm_b=wm_b.astype(cd),
+        bm=bmerge.reshape(1, D).astype(jnp.float32),
+        h1=h1.astype(cd), h1T=h1.T.astype(cd),
+    )
+
+
+def _forward(
+    u, wqkv, bqkv, logit_scale, bias, wproj, bproj, wmerge, bmerge,
+    *, num_heads, interpret,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, wh, ww, C = u.shape
+    A3 = wqkv.shape[1]
+    A = A3 // 3
+    nh = num_heads
+    D = wmerge.shape[1]
+    cd = u.dtype
+    p = _prep_params(
+        wqkv, bqkv, logit_scale, bias, wproj, bproj, wmerge, bmerge,
+        C=C, A=A, nh=nh, D=D, cd=cd,
+    )
 
     kernel = functools.partial(
         _ngram_kernel, wh=wh, ww=ww, C=C, A=A, nh=nh, D=D,
     )
     c0 = lambda b: (0, 0)  # noqa: E731
+    # ONE ordered list drives both the BlockSpecs and the operand tuple —
+    # the two can never drift out of alignment
+    extras = [
+        (p["wq"], (C, A)), (p["wk"], (C, A)), (p["wv"], (C, A)),
+        (p["bq"], (1, A)), (p["bk"], (1, A)), (p["bv"], (1, A)),
+        (p["scale"], (1, nh)), (p["bias_pq"], (16, nh)),
+        (p["wproj"], (A, C)), (p["bp"], (1, C)),
+        (p["wm_f"], (C, D)), (p["wm_b"], (C, D)), (p["bm"], (1, D)),
+        (p["h1"], (A, nh)), (p["h1T"], (nh, A)),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, wh, ww, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, A), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, A), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, A), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, nh), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, C), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, D), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, D), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, nh), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, A), c0, memory_space=pltpu.VMEM),
-        ],
+        ] + [pl.BlockSpec(shape, c0, memory_space=pltpu.VMEM) for _, shape in extras],
         out_specs=pl.BlockSpec(
             (1, wh, ww, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, wh, ww, D), cd),
         interpret=interpret,
-    )(
-        u,
-        wq.astype(cd), wk.astype(cd), wv.astype(cd),
-        bq.astype(jnp.float32), bk.astype(jnp.float32), bv.astype(jnp.float32),
-        scale, bias_pq,
-        wproj.astype(cd), bp.astype(jnp.float32),
-        wm_f.astype(cd), wm_b.astype(cd), bmerge.reshape(1, D).astype(jnp.float32),
-        jnp.asarray(_head_onehot(A, nh)).astype(cd),
-        jnp.asarray(_head_onehot(A, nh).T).astype(cd),
-    )
+    )(u, *[a for a, _ in extras])
     return out
 
 
@@ -279,30 +296,27 @@ def _backward(
     cd = u.dtype
     g = g.astype(cd)
 
-    wq, wk, wv = jnp.split(wqkv, 3, axis=1)
-    bq, bk, bv = (b.reshape(1, A) for b in jnp.split(bqkv, 3))
-    scale = jnp.exp(
-        jnp.clip(logit_scale.astype(jnp.float32), max=LOGIT_SCALE_MAX)
-    ).reshape(1, nh)
-    bias_pq = bias.astype(jnp.float32).transpose(1, 2, 0).reshape(16, nh)
-    wm_f, wm_b = wmerge[:C], wmerge[C:]
-    bp = bproj.reshape(1, C)
+    # identical prep to the primal (_forward) — required for the recompute
+    p = _prep_params(
+        wqkv, bqkv, logit_scale, bias, wproj, bproj, wmerge, bmerge,
+        C=C, A=A, nh=nh, D=D, cd=cd,
+    )
 
     kernel = functools.partial(
         _ngram_bwd_kernel, wh=wh, ww=ww, C=C, A=A, nh=nh, D=D,
     )
     c0 = lambda b: (0, 0)  # noqa: E731
-    mat_in = [
-        (wq, (C, A)), (wk, (C, A)), (wv, (C, A)),
-        (bq, (1, A)), (bk, (1, A)), (bv, (1, A)),
-        (scale, (1, nh)), (bias_pq, (16, nh)),
-        (wproj, (A, C)), (bp, (1, C)),
-        (wm_f, (C, D)), (wm_b, (C, D)),
+    # ONE ordered list drives both the BlockSpecs and the operand tuple
+    extras = [
+        (p["wq"], (C, A)), (p["wk"], (C, A)), (p["wv"], (C, A)),
+        (p["bq"], (1, A)), (p["bk"], (1, A)), (p["bv"], (1, A)),
+        (p["scale"], (1, nh)), (p["bias_pq"], (16, nh)),
+        (p["wproj"], (A, C)), (p["bp"], (1, C)),
+        (p["wm_f"], (C, D)), (p["wm_b"], (C, D)),
         # pre-transposed weights for the input-gradient dots
-        (wq.T, (A, C)), (wk.T, (A, C)), (wv.T, (A, C)),
-        (wproj.T, (C, A)), (wm_f.T, (D, C)), (wm_b.T, (D, C)),
-        (jnp.asarray(_head_onehot(A, nh)), (A, nh)),
-        (jnp.asarray(_head_onehot(A, nh).T), (nh, A)),
+        (p["wq"].T, (A, C)), (p["wk"].T, (A, C)), (p["wv"].T, (A, C)),
+        (p["wproj"].T, (C, A)), (p["wm_f"].T, (D, C)), (p["wm_b"].T, (D, C)),
+        (p["h1"], (A, nh)), (p["h1T"], (nh, A)),
     ]
     out_decl = [
         ((B, wh, ww, C), cd, pl.BlockSpec((1, wh, ww, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)),
@@ -326,25 +340,14 @@ def _backward(
         in_specs=[
             pl.BlockSpec((1, wh, ww, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wh, ww, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(shape, c0, memory_space=pltpu.VMEM) for _, shape in mat_in],
+        ] + [pl.BlockSpec(shape, c0, memory_space=pltpu.VMEM) for _, shape in extras],
         out_specs=[spec for _, _, spec in out_decl],
         out_shape=[jax.ShapeDtypeStruct(shape, dt) for shape, dt, _ in out_decl],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(
-        u, g,
-        wq.astype(cd), wk.astype(cd), wv.astype(cd),
-        bq.astype(jnp.float32), bk.astype(jnp.float32), bv.astype(jnp.float32),
-        scale, bias_pq,
-        wproj.astype(cd), bp.astype(jnp.float32),
-        wm_f.astype(cd), wm_b.astype(cd),
-        wq.T.astype(cd), wk.T.astype(cd), wv.T.astype(cd),
-        wproj.T.astype(cd), wm_f.T.astype(cd), wm_b.T.astype(cd),
-        jnp.asarray(_head_onehot(A, nh)).astype(cd),
-        jnp.asarray(_head_onehot(A, nh).T).astype(cd),
-    )
+    )(u, g, *[a for a, _ in extras])
     (du, dwq_, dwk_, dwv_, dbq_, dbk_, dbv_, dscale_e, dbias_pq_, dwproj_,
      dbproj_, dwm_f_, dwm_b_, dbm_) = outs
 

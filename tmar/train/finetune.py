@@ -83,7 +83,7 @@ def freeze_by_path(
     ``frozen_prefixes`` receive zero updates (optax ``set_to_zero`` masking).
 
     TPU-native equivalent of the reference's requires_grad=False stage
-    freezing (scripts/finetune_all_benchmarks.py:1875-1597 freezes MEPNet's
+    freezing (scripts/finetune_all_benchmarks.py:1533-1597 freezes MEPNet's
     priornet + first N proxNet stages to fit memory) — here the frozen
     branch is pruned from the compiled update, so XLA drops the dead
     gradient math entirely.
