@@ -1,0 +1,50 @@
+"""A/B: train step with per-leaf vs flattened (fused) optimizer updates.
+Usage: python _ab_train.py [flat|leaf] [iters]"""
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import optax
+
+from tmar.losses import LossWeights
+from tmar.nn import MultiScaleDiscriminator, NGswin
+from tmar.ops import Radon
+from tmar.train import create_train_state, make_train_step
+
+mode = sys.argv[1] if len(sys.argv) > 1 else "flat"      # flat | leaf
+pairs = len(sys.argv) > 2 and sys.argv[2] == "pairs"     # fused D passes
+iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+B, PATCH = 8, 128
+
+gen = NGswin(dtype=jnp.bfloat16, use_pallas_attention=True, attn_backward="pallas")
+disc = MultiScaleDiscriminator(dtype=jnp.bfloat16)
+adam_g = optax.adam(1e-4, b1=0.5, b2=0.999)
+adam_d = optax.adam(2e-4, b1=0.5, b2=0.999)
+if mode == "flat":
+    g_tx, d_tx = optax.flatten(adam_g), optax.flatten(adam_d)
+else:
+    g_tx, d_tx = adam_g, adam_d
+state = create_train_state(jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, patch_size=PATCH)
+radon = Radon(PATCH, np.linspace(0, np.pi, 180, endpoint=False))
+step = make_train_step(gen, disc, g_tx, d_tx, LossWeights(), projector=radon,
+                       donate=False, fused_pairs=pairs)
+
+rng = np.random.default_rng(0)
+batch = jax.device_put({
+    "ct": rng.uniform(-1, 1, (B, PATCH, PATCH, 1)).astype(np.float32),
+    "gt": rng.uniform(-1, 1, (B, PATCH, PATCH, 1)).astype(np.float32),
+})
+s, m = step(state, batch)
+np.asarray(m["loss_g"])
+t0 = time.perf_counter()
+for _ in range(iters):
+    s, m = step(s, batch)
+np.asarray(m["loss_g"])
+dt = (time.perf_counter() - t0) / iters
+print(f"{mode} pairs={pairs}: {dt*1000:.1f} ms/step  {1/dt:.2f} steps/s")
