@@ -127,3 +127,41 @@ def test_fused_ngram_backward_kernel_matches_math(dim, heads, wh, ww):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5, err_msg=nm
         )
+
+
+def test_fused_ngram_bf16_dtype_plumbing(monkeypatch):
+    """bf16 module dtype through the megakernel primal AND the fused
+    recompute backward (interpret): the fused path must agree with the
+    unfused composition at the same dtype, and emit finite cotangents of
+    the parameters' own dtypes."""
+    module = NGramContext(
+        dim=64, window_size=4, ngram=2, ngram_num_heads=6,
+        use_pallas=True, pallas_interpret=True, dtype=jnp.bfloat16,
+        attn_backward="pallas",
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 64)).astype(np.float32))
+    params = module.init(jax.random.PRNGKey(0), x)["params"]
+
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "0")
+    ref = module.apply({"params": params}, x)
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "1")
+    fused = module.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+    def loss(p):
+        out = module.apply({"params": p}, x)
+        return jnp.mean(jnp.square(out.astype(jnp.float32)))
+
+    grads = jax.grad(loss)(params)
+    for path, g in jax.tree_util.tree_leaves_with_path(grads):
+        leaf = params
+        for k in path:
+            leaf = leaf[k.key]
+        assert g.dtype == leaf.dtype, jax.tree_util.keystr(path)
+        assert np.isfinite(np.asarray(g, np.float32)).all(), (
+            jax.tree_util.keystr(path)
+        )
