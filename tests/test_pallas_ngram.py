@@ -165,3 +165,68 @@ def test_fused_ngram_bf16_dtype_plumbing(monkeypatch):
         assert np.isfinite(np.asarray(g, np.float32)).all(), (
             jax.tree_util.keystr(path)
         )
+
+
+@pytest.mark.parametrize("wh,ww,stripes", [(8, 8, 2), (8, 8, 4), (6, 5, 3), (4, 4, 2)])
+def test_striped_forward_matches_single_stripe(wh, ww, stripes):
+    """The striped kernel (grid over window-rows with ±1-row halo) must be
+    exact vs the single-stripe whole-map evaluation for middle/first/last
+    stripe variants, incl. the seq_refl boundary rows."""
+    from tmar.ops.attention import gather_rel_pos_bias, relative_position_index
+    from tmar.ops.pallas_ngram import fused_ngram_context
+
+    dim, heads = 64, 6
+    half = dim // 2
+    A = (half // heads) * heads
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((2, wh, ww, half)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((half, 3 * A)).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.standard_normal((3 * A,)).astype(np.float32) * 0.1)
+    ls = jnp.asarray(rng.standard_normal((heads, 1, 1)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((9, heads)).astype(np.float32) * 0.02)
+    bias = gather_rel_pos_bias(table, relative_position_index(2, 2), heads)
+    wproj = jnp.asarray(rng.standard_normal((A, half)).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.standard_normal((half,)).astype(np.float32) * 0.1)
+    wmerge = jnp.asarray(rng.standard_normal((dim, dim)).astype(np.float32) * 0.2)
+    bmerge = jnp.asarray(rng.standard_normal((dim,)).astype(np.float32) * 0.1)
+    args = (u, wqkv, bqkv, ls, bias, wproj, bproj, wmerge, bmerge)
+
+    whole = fused_ngram_context(*args, heads, interpret=True, stripe_rows=wh)
+    striped = fused_ngram_context(
+        *args, heads, interpret=True, stripe_rows=wh // stripes
+    )
+    # interpret-mode matmul blocking varies with row count (RE differs per
+    # stripe choice) => f32 noise, not a stripe-logic error
+    np.testing.assert_allclose(
+        np.asarray(striped), np.asarray(whole), atol=1e-5, rtol=0
+    )
+
+
+def test_default_stripe_geometry_matches_math():
+    """A geometry whose DEFAULT stripe choice is multi-stripe (24x24 grid,
+    wh*ww > 512 => S=8, 3 stripes) must match the unfused composition."""
+    from tmar.nn.ngram import NGramContext
+    from tmar.ops.pallas_ngram import _stripe_rows
+
+    assert _stripe_rows(24, 24) not in (24,)  # actually striped
+    assert _stripe_rows(64, 64) == 8          # 512² stage-1 geometry
+    assert 64 % _stripe_rows(64, 64) == 0
+
+    module = NGramContext(
+        dim=32, window_size=4, ngram=2, ngram_num_heads=2,
+        use_pallas=True, pallas_interpret=True,
+    )
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 96, 96, 32)).astype(np.float32))
+    params = module.init(jax.random.PRNGKey(0), x)["params"]
+
+    import os
+    os.environ["TMAR_NGRAM_FUSED"] = "1"
+    try:
+        fused = module.apply({"params": params}, x)
+    finally:
+        os.environ["TMAR_NGRAM_FUSED"] = "0"
+    ref = module.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=3e-5, rtol=3e-5
+    )

@@ -8,8 +8,11 @@ proj), 2 token means, a concat and a 1x1 merge conv.  At 512^2 the whole pool
 is ~68 ms of dispatch-bound sub-roofline kernels (PERF.md).
 
 This kernel computes the ENTIRE context — both directional sliding attentions,
-token means and the merge conv — in ONE Pallas call per image, operating in
-*map layout* throughout (no [R, 4, C] token materialisation):
+token means and the merge conv — in ONE Pallas call, gridded over
+(image, window-row stripe) with ±1-row halo refs so VMEM stays bounded at
+any map size (``_stripe_rows``; a whole 64×64 stage-1 map would need tens
+of MB), operating in *map layout* throughout (no [R, 4, C] token
+materialisation):
 
 * qkv is computed once per grid position ([R, C] @ [C, A] dots); a sliding
   window's token p is just the map shifted by p's (di, dj) offset, with the
@@ -122,6 +125,7 @@ def fused_ngram_context(
     attn_backward: str = "auto",
     interpret: bool = False,
     backward: Optional[str] = None,
+    stripe_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """u: [B, wh, ww, C] unigram grid -> context [B, wh, ww, D] where
     D = wmerge.shape[-1].  ngram == 2 only (the flagship config; callers
@@ -151,7 +155,7 @@ def fused_ngram_context(
         return _forward(
             u, wqkv, bqkv if has_bqkv else None, logit_scale, bias, wproj,
             bproj if has_bproj else None, wmerge, bmerge,
-            num_heads=num_heads, interpret=interpret,
+            num_heads=num_heads, interpret=interpret, stripe_rows=stripe_rows,
         )
 
     def math_fn(u, wqkv, bqkv, logit_scale, bias, wproj, bproj, wmerge, bmerge):
@@ -169,6 +173,7 @@ def fused_ngram_context(
                     a[0], a[1], a[2] if has_bqkv else None, a[3], a[4], a[5],
                     a[6] if has_bproj else None, a[7], a[8],
                     num_heads=num_heads, interpret=interpret,
+                    stripe_rows=stripe_rows,
                 ),
                 a,
             )
@@ -229,9 +234,26 @@ def _prep_params(
     )
 
 
+def _stripe_rows(wh: int, ww: int, budget: int = 512) -> int:
+    """Grid-rows per stripe for the striped forward kernel.
+
+    The largest divisor S >= 2 of ``wh`` with ``S * ww <= budget`` bounds
+    every in-kernel [(S+2)·ww, A] buffer to a few hundred KB regardless of
+    map size — a whole-map kernel at 512² stage 1 (64×64 grid) would need
+    tens of MB of VMEM, over the ~16 MB scoped-vmem budget.  If the whole
+    map already fits (or ``wh`` is tiny/prime), one stripe covers it.
+    """
+    if wh * ww <= budget:
+        return wh
+    for s in range(min(wh - 1, budget // max(ww, 1)), 1, -1):
+        if wh % s == 0:
+            return s
+    return wh
+
+
 def _forward(
     u, wqkv, bqkv, logit_scale, bias, wproj, bproj, wmerge, bmerge,
-    *, num_heads, interpret,
+    *, num_heads, interpret, stripe_rows=None,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -247,10 +269,13 @@ def _forward(
         C=C, A=A, nh=nh, D=D, cd=cd,
     )
 
+    S = stripe_rows if stripe_rows is not None else _stripe_rows(wh, ww)
+    assert wh % S == 0 and (S >= 2 or S == wh), (wh, S)
+    nr = wh // S
     kernel = functools.partial(
-        _ngram_kernel, wh=wh, ww=ww, C=C, A=A, nh=nh, D=D,
+        _ngram_stripe_kernel, S=S, nr=nr, ww=ww, C=C, A=A, nh=nh, D=D,
     )
-    c0 = lambda b: (0, 0)  # noqa: E731
+    c0 = lambda b, r: (0, 0)  # noqa: E731
     # ONE ordered list drives both the BlockSpecs and the operand tuple —
     # the two can never drift out of alignment
     extras = [
@@ -261,18 +286,27 @@ def _forward(
         (p["wm_f"], (C, D)), (p["wm_b"], (C, D)), (p["bm"], (1, D)),
         (p["h1"], (A, nh)), (p["h1T"], (nh, A)),
     ]
+    # the same input rides in three times under shifted row-block index
+    # maps: own stripe plus the previous/next stripes whose edge rows form
+    # the vertical-shift halo (clamped at the boundary; the boundary shift
+    # variants never read the clamped garbage)
+    x_spec = lambda f: pl.BlockSpec(  # noqa: E731
+        (1, S, ww, C), f, memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, nr),
         in_specs=[
-            pl.BlockSpec((1, wh, ww, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            x_spec(lambda b, r: (b, jnp.maximum(r - 1, 0), 0, 0)),
+            x_spec(lambda b, r: (b, r, 0, 0)),
+            x_spec(lambda b, r: (b, jnp.minimum(r + 1, nr - 1), 0, 0)),
         ] + [pl.BlockSpec(shape, c0, memory_space=pltpu.VMEM) for _, shape in extras],
         out_specs=pl.BlockSpec(
-            (1, wh, ww, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, S, ww, D), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, wh, ww, D), cd),
         interpret=interpret,
-    )(u, *[a for a, _ in extras])
+    )(u, u, u, *[a for a, _ in extras])
     return out
 
 
@@ -692,21 +726,39 @@ def _unshift_add_fwd_or(unshift, grads_flat, wh, ww, A):
     return unshift([t.reshape(wh, ww, A) for t in grads_flat], wh, ww)
 
 
-def _ngram_kernel(
-    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+def _ngram_stripe_kernel(
+    xp_ref, xo_ref, xn_ref,
+    wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     scale_ref, biaspq_ref, wproj_ref, bproj_ref,
-    wmf_ref, wmb_ref, bm_ref, h1_ref, h1t_ref, out_ref, *, wh, ww, C, A, nh, D,
+    wmf_ref, wmb_ref, bm_ref, h1_ref, h1t_ref, out_ref,
+    *, S, nr, ww, C, A, nh, D,
 ):
-    R = wh * ww
-    cd = x_ref.dtype
+    """One stripe of S grid-rows (grid = (B, wh/S)); ``xp``/``xn`` carry
+    the previous/next stripes whose edge rows form the vertical-shift halo.
+    The seq_refl boundary variants (first/last stripe) only read in-stripe
+    rows, so the clamped halo garbage there is never consumed.  With
+    S == wh (one stripe) the shift formulas reduce exactly to the
+    whole-map ``_shift_tokens_fwd``/``_shift_tokens_bwd``."""
+    from jax.experimental import pallas as pl
+
+    cd = xo_ref.dtype
+    r = pl.program_id(1)
+    is_first = r == 0
+    is_last = r == nr - 1
     h1_cd = h1_ref[:]                               # [A, nh] head one-hot
     h1t_cd = h1t_ref[:]                             # [nh, A]
 
-    u2 = x_ref[0].reshape(R, C)                     # [R, C]
+    # rows r0-1 .. r0+S of the global map (halo clamped at the edges)
+    ext = jnp.concatenate(
+        [xp_ref[0, S - 1 : S], xo_ref[0], xn_ref[0, 0:1]], axis=0
+    )                                               # [S+2, ww, C]
+    RE = (S + 2) * ww
+    RS = S * ww
+    u2 = ext.reshape(RE, C)
 
     def _proj(w_ref, b_ref):
         y = jnp.dot(u2, w_ref[:], preferred_element_type=jnp.float32)
-        return y + b_ref[:]                         # [R, A] f32
+        return y + b_ref[:]                         # [RE, A] f32
 
     q = _proj(wq_ref, bq_ref)
     k = _proj(wk_ref, bk_ref)
@@ -715,24 +767,51 @@ def _ngram_kernel(
     def _normalize(t):
         n2 = jnp.dot(
             jnp.square(t).astype(cd), h1_cd, preferred_element_type=jnp.float32
-        )                                           # [R, nh]
+        )                                           # [RE, nh]
         inv = (jnp.sqrt(n2) + 1e-12).astype(cd) ** -1
         invA = jnp.dot(inv, h1t_cd, preferred_element_type=jnp.float32)
         return (t * invA).astype(cd)
 
-    qn = _normalize(q)
-    kn = _normalize(k)
-
-    qn3 = qn.reshape(wh, ww, A)
-    kn3 = kn.reshape(wh, ww, A)
-    v3 = v.reshape(wh, ww, A)
+    qn3 = _normalize(q).reshape(S + 2, ww, A)
+    kn3 = _normalize(k).reshape(S + 2, ww, A)
+    v3 = v.reshape(S + 2, ww, A)
     scale = scale_ref[:]                            # [1, nh] f32
 
+    # local row i of ext == global row r0-1+i.  Vertical shifts become
+    # in-ext row slices; the reflect rows of the boundary variants
+    # (global 1 == ext[2] on the first stripe, global wh-2 == ext[S-1] on
+    # the last) are in-stripe by construction.
+    def _shifts_fwd(t3):
+        ident = t3[1 : S + 1]
+        right_t = jnp.concatenate(
+            [t3[:, 1:, :], t3[:, ww - 2 : ww - 1, :]], axis=1
+        )
+
+        def down_of(m):
+            mid = m[2 : S + 2]
+            last = jnp.concatenate([m[2 : S + 1], m[S - 1 : S]], axis=0)
+            return jnp.where(is_last, last, mid)
+
+        return [ident, right_t[1 : S + 1], down_of(t3), down_of(right_t)]
+
+    def _shifts_bwd(t3):
+        ident = t3[1 : S + 1]
+        left_t = jnp.concatenate(
+            [t3[:, 1:2, :], t3[:, : ww - 1, :]], axis=1
+        )
+
+        def up_of(m):
+            mid = m[0:S]
+            first = jnp.concatenate([m[2:3], m[1:S]], axis=0)
+            return jnp.where(is_first, first, mid)
+
+        return [up_of(left_t), up_of(t3), left_t[1 : S + 1], ident]
+
     def _direction(shift_fn):
-        qs = [t.reshape(R, A) for t in shift_fn(qn3, wh, ww)]
-        ks = [t.reshape(R, A) for t in shift_fn(kn3, wh, ww)]
-        vs = [t.reshape(R, A) for t in shift_fn(v3, wh, ww)]
-        acc = jnp.zeros((R, A), jnp.float32)
+        qs = [t.reshape(RS, A) for t in shift_fn(qn3)]
+        ks = [t.reshape(RS, A) for t in shift_fn(kn3)]
+        vs = [t.reshape(RS, A) for t in shift_fn(v3)]
+        acc = jnp.zeros((RS, A), jnp.float32)
         for p in range(4):
             s = []
             for qi in range(4):
@@ -744,21 +823,21 @@ def _ngram_kernel(
             z = e[0] + e[1] + e[2] + e[3]
             inv_z = 1.0 / z
             for qi in range(4):
-                a = (e[qi] * inv_z).astype(cd)      # [R, nh]
+                a = (e[qi] * inv_z).astype(cd)      # [RS, nh]
                 aA = jnp.dot(a, h1t_cd, preferred_element_type=jnp.float32)
                 acc = acc + aA.astype(cd).astype(jnp.float32) * vs[qi].astype(
                     jnp.float32
                 )
-        mean = (acc * 0.25).astype(cd)              # [R, A]
+        mean = (acc * 0.25).astype(cd)              # [RS, A]
         ctx = jnp.dot(mean, wproj_ref[:], preferred_element_type=jnp.float32)
-        return (ctx + bproj_ref[:]).astype(cd)      # [R, C]
+        return (ctx + bproj_ref[:]).astype(cd)      # [RS, C]
 
-    ctx_f = _direction(_shift_tokens_fwd)
-    ctx_b = _direction(_shift_tokens_bwd)
+    ctx_f = _direction(_shifts_fwd)
+    ctx_b = _direction(_shifts_bwd)
 
     merged = (
         jnp.dot(ctx_f, wmf_ref[:], preferred_element_type=jnp.float32)
         + jnp.dot(ctx_b, wmb_ref[:], preferred_element_type=jnp.float32)
         + bm_ref[:]
     )
-    out_ref[0] = merged.astype(cd).reshape(wh, ww, D)
+    out_ref[0] = merged.astype(cd).reshape(S, ww, D)
