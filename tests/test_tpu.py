@@ -146,12 +146,14 @@ def test_fused_nstb_matches_unfused_on_chip(rng, mapmode, geometry, monkeypatch)
 
 
 @pytest.mark.parametrize("dtype,atol", [(jnp.float32, 5e-3), (jnp.bfloat16, 6e-2)])
-@pytest.mark.parametrize("grid", [(8, 8), (13, 13)])
+@pytest.mark.parametrize("grid", [(8, 8), (13, 13), (64, 64)])
 def test_fused_ngram_context_on_chip(rng, dtype, atol, grid, monkeypatch):
     """N-gram context megakernel (tmar.ops.pallas_ngram) on real hardware vs
     the unfused composition — covers the reflect-spliced shifted-map halo
     logic, the one-hot head matmuls (head_dim 5 at the flagship's 32/6
-    split) and the odd 13x13 grid of a 416² slice's stage 3."""
+    split), the odd 13x13 grid of a 416² slice's stage 3, and the 64x64
+    512² stage-1 grid that exercises the MULTI-STRIPE path (8 row-stripes,
+    halo BlockSpecs + boundary-variant selects)."""
     from tmar.nn.ngram import NGramContext
 
     wh, ww = grid
