@@ -286,20 +286,24 @@ def _forward(
         (p["wm_f"], (C, D)), (p["wm_b"], (C, D)), (p["bm"], (1, D)),
         (p["h1"], (A, nh)), (p["h1T"], (nh, A)),
     ]
-    # the same input rides in three times under shifted row-block index
-    # maps: own stripe plus the previous/next stripes whose edge rows form
-    # the vertical-shift halo (clamped at the boundary; the boundary shift
-    # variants never read the clamped garbage)
-    x_spec = lambda f: pl.BlockSpec(  # noqa: E731
-        (1, S, ww, C), f, memory_space=pltpu.VMEM
+    # the same input rides in three times: the own stripe plus two
+    # single-row halo blocks (the previous stripe's last row and the next
+    # stripe's first row) for the vertical shifts — row-unit index maps,
+    # clamped at the boundary; the boundary shift variants never read the
+    # clamped garbage
+    row_spec = lambda f: pl.BlockSpec(  # noqa: E731
+        (1, 1, ww, C), f, memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
         grid=(B, nr),
         in_specs=[
-            x_spec(lambda b, r: (b, jnp.maximum(r - 1, 0), 0, 0)),
-            x_spec(lambda b, r: (b, r, 0, 0)),
-            x_spec(lambda b, r: (b, jnp.minimum(r + 1, nr - 1), 0, 0)),
+            row_spec(lambda b, r: (b, jnp.maximum(S * r - 1, 0), 0, 0)),
+            pl.BlockSpec(
+                (1, S, ww, C), lambda b, r: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            row_spec(lambda b, r: (b, jnp.minimum(S * (r + 1), wh - 1), 0, 0)),
         ] + [pl.BlockSpec(shape, c0, memory_space=pltpu.VMEM) for _, shape in extras],
         out_specs=pl.BlockSpec(
             (1, S, ww, D), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
@@ -734,7 +738,8 @@ def _ngram_stripe_kernel(
     *, S, nr, ww, C, A, nh, D,
 ):
     """One stripe of S grid-rows (grid = (B, wh/S)); ``xp``/``xn`` carry
-    the previous/next stripes whose edge rows form the vertical-shift halo.
+    single halo rows (the previous stripe's last row / the next stripe's
+    first row) for the vertical shifts.
     The seq_refl boundary variants (first/last stripe) only read in-stripe
     rows, so the clamped halo garbage there is never consumed.  With
     S == wh (one stripe) the shift formulas reduce exactly to the
@@ -748,9 +753,10 @@ def _ngram_stripe_kernel(
     h1_cd = h1_ref[:]                               # [A, nh] head one-hot
     h1t_cd = h1t_ref[:]                             # [nh, A]
 
-    # rows r0-1 .. r0+S of the global map (halo clamped at the edges)
+    # rows r0-1 .. r0+S of the global map (single-row halo blocks,
+    # clamped at the edges)
     ext = jnp.concatenate(
-        [xp_ref[0, S - 1 : S], xo_ref[0], xn_ref[0, 0:1]], axis=0
+        [xp_ref[0], xo_ref[0], xn_ref[0]], axis=0
     )                                               # [S+2, ww, C]
     RE = (S + 2) * ww
     RS = S * ww
