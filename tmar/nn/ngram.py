@@ -175,8 +175,16 @@ class NGramContext(nn.Module):
                 interpret=interpret,
                 # training on the pallas kernels: megakernel primal + fused
                 # recompute backward (2 kernels/block instead of the ~30-XLA-
-                # kernel context fwd+bwd swarm)
-                backward="pallas" if self.attn_backward == "pallas" else None,
+                # kernel context fwd+bwd swarm).  The backward kernel holds
+                # the whole map per image (train grids are small); above
+                # 32x32 grids its VMEM need outgrows the 64 MB grant, so
+                # large-map differentiation (e.g. full-slice finetuning)
+                # falls back to the composition path.
+                backward=(
+                    "pallas"
+                    if self.attn_backward == "pallas" and wh * ww <= 1024
+                    else None
+                ),
             )
 
         attn = WindowAttention(
