@@ -243,6 +243,11 @@ def _stripe_rows(wh: int, ww: int, budget: int = 512) -> int:
     tens of MB of VMEM, over the ~16 MB scoped-vmem budget.  If the whole
     map already fits (or ``wh`` is tiny/prime), one stripe covers it.
     """
+    import os
+
+    forced = int(os.environ.get("TMAR_NGRAM_STRIPE", "0") or "0")
+    if forced >= 2 and wh % forced == 0:  # measurement override
+        return forced
     if wh * ww <= budget:
         return wh
     for s in range(min(wh - 1, budget // max(ww, 1)), 1, -1):
