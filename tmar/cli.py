@@ -393,12 +393,19 @@ def _build_test_dataset(cfg):
     return SyntheticMARDataset(size=size, length=32)
 
 
+def _export_cmd(argv=None) -> int:
+    from tmar.export import main as export_main
+
+    return export_main(argv)
+
+
 _COMMANDS = {
     "train": train,
     "test": test,
     "ablate": ablate,
     "compare": compare,
     "finetune": finetune_cmd,
+    "export": _export_cmd,
 }
 
 
