@@ -83,6 +83,58 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def _tp_spec(path) -> P:
+    """Megatron-style tensor-parallel rule for one param leaf (by path).
+
+    Attention/FFN first matmuls split their OUTPUT dim over ``MODEL_AXIS``
+    (qkv/fc1 kernels column-wise + their biases), the second matmuls split
+    their INPUT dim (proj/fc2 kernels row-wise, biases replicated) so each
+    shard computes a partial sum and XLA inserts one psum per pair; all
+    other leaves (norms, convs, RPB tables, logit scales) are replicated.
+    Suffix matching makes the same rule cover optimizer-moment mirrors of
+    the params (adam mu/nu carry the param path as a suffix).
+    """
+    s = jax.tree_util.keystr(path)
+    if s.endswith("['qkv']['kernel']") or s.endswith("['fc1']['kernel']"):
+        return P(None, MODEL_AXIS)
+    if s.endswith("['qkv']['bias']") or s.endswith("['fc1']['bias']"):
+        return P(MODEL_AXIS)
+    if s.endswith("['proj']['kernel']") or s.endswith("['fc2']['kernel']"):
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def tp_shardings(mesh: Mesh, tree):
+    """NamedSharding tree applying the tensor-parallel rule to ``tree``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: NamedSharding(mesh, _tp_spec(p)), tree
+    )
+
+
+def gan_state_shardings(mesh: Mesh, state, *, tensor_parallel: bool = False):
+    """Sharding tree for a ``GANTrainState``.
+
+    ``tensor_parallel=False``: everything replicated (pure DP — the
+    canonical training layout).  ``tensor_parallel=True``: the generator's
+    params AND its optimizer moments are Megatron-split over ``MODEL_AXIS``
+    (XLA inserts the activation psums from the annotations alone — GSPMD);
+    the (much smaller) discriminator and scalars stay replicated.  Use with
+    the plain XLA attention path (``use_pallas_attention=False``) — the
+    fused Pallas kernels expect unsharded operands.
+    """
+    repl = NamedSharding(mesh, P())
+    if not tensor_parallel:
+        return jax.tree_util.tree_map(lambda _: repl, state)
+    return state.replace(
+        step=repl,
+        g_params=tp_shardings(mesh, state.g_params),
+        g_opt=tp_shardings(mesh, state.g_opt),
+        d_params=jax.tree_util.tree_map(lambda _: repl, state.d_params),
+        d_sn=jax.tree_util.tree_map(lambda _: repl, state.d_sn),
+        d_opt=jax.tree_util.tree_map(lambda _: repl, state.d_opt),
+    )
+
+
 def force_host_device_count(n: int) -> None:
     """Set up N virtual CPU devices (must run before jax initialises).
 

@@ -70,6 +70,7 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     fused_pairs: bool = False,
+    state_shardings=None,
 ):
     """Build the fused D+G train step.
 
@@ -198,10 +199,14 @@ def make_train_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data_sh = NamedSharding(mesh, P("data"))
+        # state_shardings: an optional GANTrainState-shaped tree (e.g.
+        # tmar.core.mesh.gan_state_shardings(..., tensor_parallel=True))
+        # overriding the default fully-replicated param layout
+        state_sh = repl if state_shardings is None else state_shardings
         return jax.jit(
             train_step,
-            in_shardings=(repl, data_sh),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, data_sh),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
