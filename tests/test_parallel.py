@@ -153,3 +153,64 @@ def test_tensor_parallel_step_matches_single_device():
         lambda a, b: float(np.max(np.abs(a - b))), s_tp.g_params, s1.g_params
     )
     assert max(jax.tree_util.tree_leaves(deltas)) < 5e-4
+
+
+@pytest.mark.slow
+def test_fsdp_step_matches_single_device():
+    """ZeRO/FSDP layout: params + optimizer moments of BOTH networks live
+    sharded over the data axis (all-gather at use / reduce-scatter on
+    grads, inserted by GSPMD); one step must match a 1-device run."""
+    import optax
+
+    from tmar.core.mesh import (
+        create_mesh, gan_state_shardings, replicate, shard_batch,
+    )
+    from tmar.data import SyntheticMARDataset
+    from tmar.losses import LossWeights
+    from tmar.nn import MultiScaleDiscriminator
+    from tmar.ops import Radon
+    from tmar.train import create_train_state, make_train_step
+
+    size = 64
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
+    g_tx = optax.adam(1e-4, b1=0.5, b2=0.999)
+    d_tx = optax.adam(2e-4, b1=0.5, b2=0.999)
+    host_state = jax.device_get(
+        create_train_state(jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, size)
+    )
+    radon = Radon(size, np.linspace(0, np.pi, 12, endpoint=False))
+    ds = SyntheticMARDataset(size=size, length=8)
+    host_batch = {
+        "ct": np.stack([ds[i]["ct"] for i in range(8)])[..., None],
+        "gt": np.stack([ds[i]["gt"] for i in range(8)])[..., None],
+    }
+
+    mesh = create_mesh(8)
+    shardings = gan_state_shardings(mesh, host_state, fsdp=True)
+    state_f = jax.device_put(host_state, shardings)
+    qkv = state_f.g_params["encoder_layer1"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    shard_cols = {s.data.shape[1] for s in qkv.addressable_shards}
+    assert shard_cols == {qkv.shape[1] // 8}, shard_cols  # really ZeRO-sharded
+
+    step_f = make_train_step(
+        gen, disc, g_tx, d_tx, LossWeights(dilation_radius=2),
+        projector=radon, mesh=mesh, state_shardings=shardings,
+    )
+    s_f, m_f = step_f(state_f, shard_batch(mesh, host_batch))
+    s_f, m_f = jax.device_get(s_f), jax.device_get(m_f)
+
+    mesh1 = create_mesh(1)
+    step1 = make_train_step(
+        gen, disc, g_tx, d_tx, LossWeights(dilation_radius=2),
+        projector=radon, mesh=mesh1,
+    )
+    s1, m1 = step1(replicate(mesh1, host_state), shard_batch(mesh1, host_batch))
+    s1, m1 = jax.device_get(s1), jax.device_get(m1)
+
+    for k in m_f:
+        assert abs(float(m_f[k]) - float(m1[k])) < 5e-3, (k, m_f[k], m1[k])
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - b))), s_f.g_params, s1.g_params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) < 5e-4

@@ -111,27 +111,63 @@ def tp_shardings(mesh: Mesh, tree):
     )
 
 
-def gan_state_shardings(mesh: Mesh, state, *, tensor_parallel: bool = False):
+def _fsdp_spec(leaf, data_size: int) -> P:
+    """ZeRO/FSDP-style rule: shard a leaf's largest divisible dim over
+    DATA_AXIS (params + optimizer moments live sharded; XLA all-gathers
+    params at use and reduce-scatters gradients from the annotations).
+    Leaves with no dim divisible by the data-axis size stay replicated."""
+    shape = getattr(leaf, "shape", ())
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if shape[i] >= 2 and shape[i] % data_size == 0:
+            spec = [None] * len(shape)
+            spec[i] = DATA_AXIS
+            return P(*spec)
+    return P()
+
+
+def fsdp_shardings(mesh: Mesh, tree):
+    """NamedSharding tree sharding every eligible leaf over DATA_AXIS."""
+    n = mesh.shape[DATA_AXIS]
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _fsdp_spec(leaf, n)), tree
+    )
+
+
+def gan_state_shardings(
+    mesh: Mesh, state, *, tensor_parallel: bool = False, fsdp: bool = False
+):
     """Sharding tree for a ``GANTrainState``.
 
-    ``tensor_parallel=False``: everything replicated (pure DP — the
-    canonical training layout).  ``tensor_parallel=True``: the generator's
-    params AND its optimizer moments are Megatron-split over ``MODEL_AXIS``
-    (XLA inserts the activation psums from the annotations alone — GSPMD);
-    the (much smaller) discriminator and scalars stay replicated.  Use with
-    the plain XLA attention path (``use_pallas_attention=False``) — the
-    fused Pallas kernels expect unsharded operands.
+    Default: everything replicated (pure DP — the canonical training
+    layout).  ``tensor_parallel=True``: the generator's params AND its
+    optimizer moments are Megatron-split over ``MODEL_AXIS`` (XLA inserts
+    the activation psums from the annotations alone — GSPMD); the (much
+    smaller) discriminator and scalars stay replicated.  ``fsdp=True``:
+    every eligible param/moment leaf of BOTH networks is ZeRO-sharded over
+    ``DATA_AXIS`` (all-gather at use, reduce-scatter on gradients — also
+    from the annotations alone).  Use either with the plain XLA attention
+    path (``use_pallas_attention=False``) — the fused Pallas kernels
+    expect unsharded operands.
     """
+    if tensor_parallel and fsdp:
+        raise ValueError("choose tensor_parallel OR fsdp (not both)")
     repl = NamedSharding(mesh, P())
-    if not tensor_parallel:
+    if not (tensor_parallel or fsdp):
         return jax.tree_util.tree_map(lambda _: repl, state)
+    split = (
+        (lambda t: tp_shardings(mesh, t)) if tensor_parallel
+        else (lambda t: fsdp_shardings(mesh, t))
+    )
+    d_split = split if fsdp else (
+        lambda t: jax.tree_util.tree_map(lambda _: repl, t)
+    )
     return state.replace(
         step=repl,
-        g_params=tp_shardings(mesh, state.g_params),
-        g_opt=tp_shardings(mesh, state.g_opt),
-        d_params=jax.tree_util.tree_map(lambda _: repl, state.d_params),
+        g_params=split(state.g_params),
+        g_opt=split(state.g_opt),
+        d_params=d_split(state.d_params),
         d_sn=jax.tree_util.tree_map(lambda _: repl, state.d_sn),
-        d_opt=jax.tree_util.tree_map(lambda _: repl, state.d_opt),
+        d_opt=d_split(state.d_opt),
     )
 
 
