@@ -255,20 +255,24 @@ def main():
     backend = ""
     for attempt in range(5):
         backend, _ = _bounded_probe()
-        if backend not in ("", "cpu"):
-            break
-        time.sleep(120)
+        if backend != "":
+            break  # definite answer (tpu-like or cpu) — retrying won't change it
+        if attempt < 4:
+            time.sleep(120)  # probe timed out (outage?) — wait and retry
     if backend in ("", "cpu"):
+        reason = (
+            "TPU backend unreachable (tunnel outage): bounded probes timed "
+            "out for ~20 min" if backend == ""
+            else "no TPU backend on this host (probe answered 'cpu')"
+        )
         print(json.dumps({
             "metric": "ngswin_512_inference",
             "value": 0.0,
             "unit": "slices/sec/chip",
             "vs_baseline": 0.0,
             "error": (
-                "TPU backend unreachable (tunnel outage): bounded probes "
-                f"saw backend={backend!r} for ~10 min — NOT a model "
-                "regression; see the previous BENCH_r*.json for the last "
-                "healthy measurement"
+                f"{reason} — NOT a model regression; see the previous "
+                "BENCH_r*.json for the last healthy measurement"
             ),
         }))
         return

@@ -202,13 +202,13 @@ def test_striped_forward_matches_single_stripe(wh, ww, stripes):
     )
 
 
-def test_default_stripe_geometry_matches_math():
+def test_default_stripe_geometry_matches_math(monkeypatch):
     """A geometry whose DEFAULT stripe choice is multi-stripe (24x24 grid,
-    wh*ww > 512 => S=8, 3 stripes) must match the unfused composition."""
+    wh*ww > 512 => S=12, 2 stripes) must match the unfused composition."""
     from tmar.nn.ngram import NGramContext
     from tmar.ops.pallas_ngram import _stripe_rows
 
-    assert _stripe_rows(24, 24) not in (24,)  # actually striped
+    assert _stripe_rows(24, 24) == 12         # actually striped (2 stripes)
     assert _stripe_rows(64, 64) == 8          # 512² stage-1 geometry
     assert 64 % _stripe_rows(64, 64) == 0
 
@@ -220,12 +220,9 @@ def test_default_stripe_geometry_matches_math():
     x = jnp.asarray(rng.standard_normal((1, 96, 96, 32)).astype(np.float32))
     params = module.init(jax.random.PRNGKey(0), x)["params"]
 
-    import os
-    os.environ["TMAR_NGRAM_FUSED"] = "1"
-    try:
-        fused = module.apply({"params": params}, x)
-    finally:
-        os.environ["TMAR_NGRAM_FUSED"] = "0"
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "1")
+    fused = module.apply({"params": params}, x)
+    monkeypatch.setenv("TMAR_NGRAM_FUSED", "0")
     ref = module.apply({"params": params}, x)
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), atol=3e-5, rtol=3e-5

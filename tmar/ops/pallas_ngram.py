@@ -245,7 +245,10 @@ def _stripe_rows(wh: int, ww: int, budget: int = 512) -> int:
     """
     import os
 
-    forced = int(os.environ.get("TMAR_NGRAM_STRIPE", "0") or "0")
+    try:
+        forced = int(os.environ.get("TMAR_NGRAM_STRIPE", "0") or "0")
+    except ValueError:
+        forced = 0  # malformed override — fall through to the default rule
     if forced >= 2 and wh % forced == 0:  # measurement override
         return forced
     if wh * ww <= budget:
@@ -548,7 +551,8 @@ def _ngram_bwd_kernel(
     h1t_cd = h1t_ref[:]
     scale = scale_ref[:]
 
-    # ---- recompute the forward (same op sequence as _ngram_kernel) -------
+    # ---- recompute the forward (same op sequence as _ngram_stripe_kernel's
+    # single-stripe S==wh case, which this whole-map backward mirrors) ------
     u2 = x_ref[0].reshape(R, C)
 
     def _proj(w_ref, b_ref):

@@ -1,12 +1,14 @@
 """A/B: train step with per-leaf vs flattened (fused) optimizer updates.
-Usage: python _ab_train.py [flat|leaf] [iters]"""
+Usage: python tools/ab_train.py [flat|leaf] [pairs|nopairs] [iters]"""
 import sys
 import time
 
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import os as _os
+jax.config.update("jax_compilation_cache_dir", _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp

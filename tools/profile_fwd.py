@@ -1,6 +1,8 @@
 """Device profile of the current 512² b8 inference forward."""
 import numpy as np, jax
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import os as _os
+jax.config.update("jax_compilation_cache_dir", _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
