@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--out", default="reports/convergence_r2")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--patch", type=int, default=128)
+    ap.add_argument("--fused", action="store_true",
+                    help="train on the fused Pallas kernel path "
+                    "(attn_backward=pallas; pair with TMAR_NGRAM_FUSED=1 "
+                    "for the ngram megakernel fwd+bwd)")
     args = ap.parse_args()
 
     from tmar.data import SyntheticMARDataset
@@ -42,10 +46,14 @@ def main():
     cfg.val_every_n_epochs = 2
     cfg.checkpoint_every_n_epochs = 10
     cfg.bf16 = True
-    cfg.model.xla_window_merge = True
+    if args.fused:
+        cfg.model.use_pallas_attention = True
+        cfg.model.attn_backward = "pallas"
+    else:
+        cfg.model.xla_window_merge = True
     cfg.log_every = 50
     cfg.run_dir = "runs"
-    cfg.run_name = "convergence_r2"
+    cfg.run_name = "convergence_fused" if args.fused else "convergence_r2"
     cfg.seed = 7
 
     val = SyntheticMARDataset(size=args.patch, length=16, base_seed=4242)
