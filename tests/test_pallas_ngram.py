@@ -227,3 +227,35 @@ def test_default_stripe_geometry_matches_math(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), atol=3e-5, rtol=3e-5
     )
+
+
+@pytest.mark.slow
+def test_flagship_grid_striping_exact():
+    """The DEFAULT stripe choice at the 512² stage-1 geometry (64x64 grid
+    -> S=8, 8 stripes) must reproduce the whole-map evaluation exactly
+    (same per-row math; only the gridding differs)."""
+    from tmar.ops.attention import gather_rel_pos_bias, relative_position_index
+    from tmar.ops.pallas_ngram import fused_ngram_context, _stripe_rows
+
+    dim, heads, wh, ww = 64, 6, 64, 64
+    half = dim // 2
+    A = (half // heads) * heads
+    rng = np.random.default_rng(42)
+    u = jnp.asarray(rng.standard_normal((1, wh, ww, half)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((half, 3 * A)).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.standard_normal((3 * A,)).astype(np.float32) * 0.1)
+    ls = jnp.asarray(rng.standard_normal((heads, 1, 1)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((9, heads)).astype(np.float32) * 0.02)
+    bias = gather_rel_pos_bias(table, relative_position_index(2, 2), heads)
+    wproj = jnp.asarray(rng.standard_normal((A, half)).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.standard_normal((half,)).astype(np.float32) * 0.1)
+    wmerge = jnp.asarray(rng.standard_normal((dim, dim)).astype(np.float32) * 0.2)
+    bmerge = jnp.asarray(rng.standard_normal((dim,)).astype(np.float32) * 0.1)
+    args = (u, wqkv, bqkv, ls, bias, wproj, bproj, wmerge, bmerge)
+
+    assert _stripe_rows(wh, ww) == 8
+    striped = fused_ngram_context(*args, heads, interpret=True)
+    whole = fused_ngram_context(*args, heads, interpret=True, stripe_rows=wh)
+    np.testing.assert_allclose(
+        np.asarray(striped), np.asarray(whole), atol=1e-5, rtol=0
+    )
