@@ -20,6 +20,25 @@ import sys
 from typing import Any, Dict, List
 
 
+def _honor_env_platforms() -> None:
+    """Make an explicit ``JAX_PLATFORMS`` env var authoritative.
+
+    Some environments pin ``jax_platforms`` to a remote accelerator backend
+    in a sitecustomize at interpreter start, which silently overrides the
+    env var — so ``JAX_PLATFORMS=cpu tmar-train …`` would still dial the
+    accelerator (and hang if it's unreachable).  Re-assert the user's
+    explicit choice via jax.config before any backend initialises.
+    """
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", p)
+        except Exception:
+            pass
+
+
 def _parse_sets(pairs: List[str]) -> Dict[str, Any]:
     import yaml
 
@@ -33,6 +52,7 @@ def _parse_sets(pairs: List[str]) -> Dict[str, Any]:
 
 
 def train(argv=None) -> int:
+    _honor_env_platforms()
     ap = argparse.ArgumentParser(prog="tmar-train", description="Train TransMAR on TPU")
     ap.add_argument("--config", default=None, help="YAML config path")
     ap.add_argument("--variant", default=None, help="variant/ablation name (baseline, v1..v5, full, A*, B*)")
@@ -61,6 +81,7 @@ def train(argv=None) -> int:
 
 
 def test(argv=None) -> int:
+    _honor_env_platforms()
     ap = argparse.ArgumentParser(prog="tmar-test", description="Evaluate a checkpoint")
     ap.add_argument("--config", default=None)
     ap.add_argument("--checkpoint", required=True, help="orbax checkpoint dir or torch .pth file")
@@ -125,6 +146,7 @@ def ablate(argv=None) -> int:
     vis-sample indices, then write the cross-ablation summary.
     --inference-only re-evaluates saved checkpoints without training
     (reference run_inference_only, :1884-2134)."""
+    _honor_env_platforms()
     ap = argparse.ArgumentParser(prog="tmar-ablate", description="Run the ablation matrix")
     ap.add_argument("--config", default=None)
     ap.add_argument("--ablations", nargs="*", default=None, help="default: all")
@@ -202,6 +224,7 @@ def ablate(argv=None) -> int:
 def compare(argv=None) -> int:
     """Multi-model benchmark comparison (reference
     evaluation/benchmark_comparison_syndeeplesion.py as a CLI)."""
+    _honor_env_platforms()
     ap = argparse.ArgumentParser(prog="tmar-compare")
     ap.add_argument("--config", default=None)
     ap.add_argument("--checkpoints", nargs="*", default=[],
@@ -269,6 +292,7 @@ def finetune_cmd(argv=None) -> int:
     """Fine-tune a benchmark architecture on paired artifact/clean data,
     optionally with the dual-domain trace-masked sinogram loss (reference
     scripts/finetune_all_benchmarks.py as a CLI)."""
+    _honor_env_platforms()
     ap = argparse.ArgumentParser(prog="tmar-finetune")
     ap.add_argument("--arch", default="redcnn",
                     choices=["redcnn", "transformer", "bafresnet"],
@@ -394,6 +418,7 @@ def _build_test_dataset(cfg):
 
 
 def _export_cmd(argv=None) -> int:
+    _honor_env_platforms()
     from tmar.export import main as export_main
 
     return export_main(argv)
