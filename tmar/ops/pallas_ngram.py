@@ -423,6 +423,22 @@ def _backward(
     )
 
 
+def _rs(t, shape, rows):
+    """Reshape that Mosaic can lower for packed dtypes.
+
+    Collapsing/expanding a grid-row dim into the sublane dim is an
+    "unsupported shape cast" for packed layouts when the row count is not a
+    multiple of the dtype's sublane packing (bf16 packs 2 rows per (8, 128)
+    sublane tile, so e.g. [15, 13, 32]bf16 -> [195, 32]bf16 fails on
+    hardware while the f32 twin lowers fine).  ``rows`` is the row factor
+    being merged/split (``ww`` for the kernels here); when it is not
+    packing-aligned the reshape detours via f32 (exact: widening cast)."""
+    packing = 4 // t.dtype.itemsize
+    if packing > 1 and rows % packing:
+        return t.astype(jnp.float32).reshape(shape).astype(t.dtype)
+    return t.reshape(shape)
+
+
 def _shift_tokens_fwd(t3, wh, ww):
     """Token maps for the FORWARD sliding window at each grid position:
     t = (di, dj) row-major over {0,1}^2 -> map shifted by (di, dj) with the
@@ -553,7 +569,7 @@ def _ngram_bwd_kernel(
 
     # ---- recompute the forward (same op sequence as _ngram_stripe_kernel's
     # single-stripe S==wh case, which this whole-map backward mirrors) ------
-    u2 = x_ref[0].reshape(R, C)
+    u2 = _rs(x_ref[0], (R, C), ww)
 
     def _proj(w_ref, b_ref):
         return jnp.dot(u2, w_ref[:], preferred_element_type=jnp.float32) + b_ref[:]
@@ -575,11 +591,11 @@ def _ngram_bwd_kernel(
     qn, q_r, q_inv = _norm_state(q)
     kn, k_r, k_inv = _norm_state(k)
 
-    qn3 = qn.reshape(wh, ww, A)
-    kn3 = kn.reshape(wh, ww, A)
-    v3 = v.reshape(wh, ww, A)
+    qn3 = _rs(qn, (wh, ww, A), ww)
+    kn3 = _rs(kn, (wh, ww, A), ww)
+    v3 = _rs(v, (wh, ww, A), ww)
 
-    dm = g_ref[0].reshape(R, D).astype(jnp.float32)
+    dm = _rs(g_ref[0], (R, D), ww).astype(jnp.float32)
     dbm_ref[:] += jnp.sum(dm, axis=0, keepdims=True)
     dmc = dm.astype(cd)
 
@@ -595,9 +611,9 @@ def _ngram_bwd_kernel(
             else (wmb_ref, wmbT_ref, dwmb_ref)
         )
 
-        qs = [t.reshape(R, A) for t in shift_fn(qn3, wh, ww)]
-        ks = [t.reshape(R, A) for t in shift_fn(kn3, wh, ww)]
-        vs = [t.reshape(R, A) for t in shift_fn(v3, wh, ww)]
+        qs = [_rs(t, (R, A), ww) for t in shift_fn(qn3, wh, ww)]
+        ks = [_rs(t, (R, A), ww) for t in shift_fn(kn3, wh, ww)]
+        vs = [_rs(t, (R, A), ww) for t in shift_fn(v3, wh, ww)]
 
         # ---- forward through this direction (keep softmax weights) -------
         acc = jnp.zeros((R, A), jnp.float32)
@@ -730,7 +746,7 @@ def _ngram_bwd_kernel(
         )
         du = du + jnp.dot(dc, wT_ref[:], preferred_element_type=jnp.float32)
 
-    du_ref[0] = du.astype(du_ref.dtype).reshape(wh, ww, C)
+    du_ref[0] = du.reshape(wh, ww, C).astype(du_ref.dtype)  # reshape in f32
 
 
 def _unshift_add_fwd_or(unshift, grads_flat, wh, ww, A):
@@ -769,7 +785,7 @@ def _ngram_stripe_kernel(
     )                                               # [S+2, ww, C]
     RE = (S + 2) * ww
     RS = S * ww
-    u2 = ext.reshape(RE, C)
+    u2 = _rs(ext, (RE, C), ww)
 
     def _proj(w_ref, b_ref):
         y = jnp.dot(u2, w_ref[:], preferred_element_type=jnp.float32)
@@ -787,9 +803,9 @@ def _ngram_stripe_kernel(
         invA = jnp.dot(inv, h1t_cd, preferred_element_type=jnp.float32)
         return (t * invA).astype(cd)
 
-    qn3 = _normalize(q).reshape(S + 2, ww, A)
-    kn3 = _normalize(k).reshape(S + 2, ww, A)
-    v3 = v.reshape(S + 2, ww, A)
+    qn3 = _rs(_normalize(q), (S + 2, ww, A), ww)
+    kn3 = _rs(_normalize(k), (S + 2, ww, A), ww)
+    v3 = _rs(v, (S + 2, ww, A), ww)
     scale = scale_ref[:]                            # [1, nh] f32
 
     # local row i of ext == global row r0-1+i.  Vertical shifts become
@@ -823,9 +839,9 @@ def _ngram_stripe_kernel(
         return [up_of(left_t), up_of(t3), left_t[1 : S + 1], ident]
 
     def _direction(shift_fn):
-        qs = [t.reshape(RS, A) for t in shift_fn(qn3)]
-        ks = [t.reshape(RS, A) for t in shift_fn(kn3)]
-        vs = [t.reshape(RS, A) for t in shift_fn(v3)]
+        qs = [_rs(t, (RS, A), ww) for t in shift_fn(qn3)]
+        ks = [_rs(t, (RS, A), ww) for t in shift_fn(kn3)]
+        vs = [_rs(t, (RS, A), ww) for t in shift_fn(v3)]
         acc = jnp.zeros((RS, A), jnp.float32)
         for p in range(4):
             s = []
@@ -855,4 +871,5 @@ def _ngram_stripe_kernel(
         + jnp.dot(ctx_b, wmb_ref[:], preferred_element_type=jnp.float32)
         + bm_ref[:]
     )
-    out_ref[0] = merged.astype(cd).reshape(S, ww, D)
+    out_ref[0] = merged.reshape(S, ww, D).astype(cd)  # reshape in f32: packed
+    # expand across an odd ww is an unsupported Mosaic shape cast (_rs)
