@@ -111,9 +111,10 @@ def bench_train_step():
     from tmar.ops import Radon
     from tmar.train import create_train_state, make_train_step
 
-    # pallas fwd + hand-written fused backward kernels: measured 6.25 vs the
-    # XLA merged path's 6.06 steps/s after the r2 kernel fixes (PERF.md) —
-    # the block-level NSTB fusion stands aside automatically in this mode
+    # pallas fwd + hand-written fused backward kernels + the n-gram context
+    # megakernel (on by default on hardware) + batched real/fake D passes:
+    # the measured winner of the r2 train A/B matrix, 8.84 steps/s vs 7.09
+    # without the megakernel and 6.27 at the r1 defaults (PERF.md)
     gen = NGswin(dtype=jnp.bfloat16, use_pallas_attention=True,
                  attn_backward="pallas")
     disc = MultiScaleDiscriminator(dtype=jnp.bfloat16)
@@ -124,7 +125,8 @@ def bench_train_step():
     )
     radon = Radon(TRAIN_PATCH, np.linspace(0, np.pi, 180, endpoint=False))
     step = make_train_step(
-        gen, disc, g_tx, d_tx, LossWeights(), projector=radon, donate=False
+        gen, disc, g_tx, d_tx, LossWeights(), projector=radon, donate=False,
+        fused_pairs=True
     )
 
     rng = np.random.default_rng(0)

@@ -138,13 +138,19 @@ class NGramContext(nn.Module):
         import jax as _jax
 
         wh, ww = unigram.shape[1], unigram.shape[2]
+        # megakernel default: ON on real hardware (on-chip validated, A/B
+        # 16.78 -> 19.89 slices/s at 512² b8), OFF in interpret mode (CPU),
+        # where the grid-loop interpreter makes it pathologically slow —
+        # TMAR_NGRAM_FUSED=0/1 overrides either way.
+        _interp = self.pallas_interpret or _jax.default_backend() == "cpu"
+        _fused_default = "0" if _interp else "1"
         if (
             self.ngram == 2
             and self.use_pallas
             and self.padding_mode == "seq_refl_win_pad"
             and wh >= 2
             and ww >= 2
-            and os.environ.get("TMAR_NGRAM_FUSED", "0") == "1"
+            and os.environ.get("TMAR_NGRAM_FUSED", _fused_default) != "0"
         ):
             # megakernel: both directional sliding attentions + means +
             # merge conv in ONE Pallas call (tmar.ops.pallas_ngram); the

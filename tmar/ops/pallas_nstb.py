@@ -398,9 +398,11 @@ def fused_nstb_map(
     ws = window_size
     wh, ww = ph // ws, pw // ws
     # stripes: split each window-row so one grid step holds <= t_max
-    # windows (32 fits the default 16 MB scoped vmem; larger values get a
-    # vmem grant in _forward_map — TMAR_NSTB_TMAX is the measurement knob)
-    t_max = int(os.environ.get("TMAR_NSTB_TMAX", "32") or "32")
+    # windows.  Default 64 (a whole window-row at 512²): measured 20.24 vs
+    # 19.99 slices/s at TMAX 32 — bigger dots beat the smaller footprint;
+    # > 32 windows gets a vmem grant in _forward_map.  TMAR_NSTB_TMAX is
+    # the measurement knob.
+    t_max = int(os.environ.get("TMAR_NSTB_TMAX", "64") or "64")
     S = 1
     while ww // S > t_max or ww % S:
         S += 1
