@@ -111,3 +111,19 @@ def test_checkpoint_roundtrip(tmp_path, mesh8):
     mgr.save(state, step=9, meta={"best_psnr": 31.5}, best=True)
     _, best_meta = mgr.restore(state, best=True)
     assert best_meta["best_psnr"] == 31.5
+
+
+def test_repeated_set_flags_all_apply():
+    # regression: argparse nargs="*" without action="append" silently kept
+    # only the LAST --set occurrence, so `--set a=1 --set b=2` dropped a=1
+    from tmar.cli import _parse_sets
+
+    # repeated occurrences (list-of-lists, as action="append" delivers)
+    out = _parse_sets([["num_epochs=1"], ["data.patch_size=32"]])
+    assert out == {"num_epochs": 1, "data.patch_size": 32}
+    # single occurrence with several pairs
+    out = _parse_sets([["a=1", "b=yes"]])
+    assert out == {"a": 1, "b": True}
+    # and they actually reach the config
+    cfg = load_config(None, _parse_sets([["num_epochs=3"], ["data.batch_size=2"]]))
+    assert cfg.num_epochs == 3 and cfg.data.batch_size == 2

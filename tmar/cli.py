@@ -39,11 +39,18 @@ def _honor_env_platforms() -> None:
             pass
 
 
-def _parse_sets(pairs: List[str]) -> Dict[str, Any]:
+def _parse_sets(pairs) -> Dict[str, Any]:
     import yaml
 
+    # argparse action="append" + nargs="*" yields a list of lists (one per
+    # --set occurrence) — flatten so both `--set a=1 b=2` and repeated
+    # `--set a=1 --set b=2` work (repeats used to silently drop all but the
+    # last occurrence)
+    flat: List[str] = []
+    for p in pairs or []:
+        flat.extend(p) if isinstance(p, list) else flat.append(p)
     out = {}
-    for p in pairs:
+    for p in flat:
         if "=" not in p:
             raise SystemExit(f"--set expects key=value, got {p!r}")
         k, v = p.split("=", 1)
@@ -56,7 +63,7 @@ def train(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tmar-train", description="Train TransMAR on TPU")
     ap.add_argument("--config", default=None, help="YAML config path")
     ap.add_argument("--variant", default=None, help="variant/ablation name (baseline, v1..v5, full, A*, B*)")
-    ap.add_argument("--set", nargs="*", default=[], help="dotted config overrides key=value")
+    ap.add_argument("--set", nargs="*", action="append", default=[], help="dotted config overrides key=value (repeatable)")
     ap.add_argument("--resume", action="store_true", help="resume from latest checkpoint in run dir")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--no-val", action="store_true", help="skip periodic validation")
@@ -85,7 +92,7 @@ def test(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tmar-test", description="Evaluate a checkpoint")
     ap.add_argument("--config", default=None)
     ap.add_argument("--checkpoint", required=True, help="orbax checkpoint dir or torch .pth file")
-    ap.add_argument("--set", nargs="*", default=[])
+    ap.add_argument("--set", nargs="*", action="append", default=[])
     ap.add_argument("--tiled", action="store_true", help="64/32 overlapping tiled inference")
     ap.add_argument("--out", default="test_results")
     ap.add_argument("--max-samples", type=int, default=200)
@@ -150,7 +157,7 @@ def ablate(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tmar-ablate", description="Run the ablation matrix")
     ap.add_argument("--config", default=None)
     ap.add_argument("--ablations", nargs="*", default=None, help="default: all")
-    ap.add_argument("--set", nargs="*", default=[])
+    ap.add_argument("--set", nargs="*", action="append", default=[])
     ap.add_argument("--epochs", type=int, default=10, help="reference runs 10-epoch ablations")
     ap.add_argument("--inference-only", action="store_true",
                     help="skip training; restore each ablation's checkpoint "
@@ -237,7 +244,7 @@ def compare(argv=None) -> int:
                     help="synthesize Sma/SLI/Tr sinograms for dual-domain adapters")
     ap.add_argument("--composites", type=int, default=3,
                     help="composite+profile figures for the first N samples")
-    ap.add_argument("--set", nargs="*", default=[])
+    ap.add_argument("--set", nargs="*", action="append", default=[])
     ap.add_argument("--out", default="comparison_results")
     ap.add_argument("--num-samples", type=int, default=25)
     ap.add_argument("--seed", type=int, default=42)

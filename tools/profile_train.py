@@ -46,4 +46,4 @@ total = sum(r["ms"] for r in rows)
 print(f"train step device-op profile (b{B}·{PATCH}², bwd={ATTN_BWD}); "
       f"top-40 sum = {total:.1f} ms/iter")
 for r in rows:
-    print(f"  {r['ms']:8.3f} ms  {r['name']}")
+    print(f"  {r['ms']:8.3f} ms  x{r['count']:5d}  {r['op']}")
