@@ -47,8 +47,12 @@ def main():
     cfg.checkpoint_every_n_epochs = 10
     cfg.bf16 = True
     if args.fused:
+        # the promoted r2 default recipe (PERF.md A/B matrix winner):
+        # fused pallas attention fwd+bwd, ngram megakernel (hardware
+        # default), batched real/fake D passes
         cfg.model.use_pallas_attention = True
         cfg.model.attn_backward = "pallas"
+        cfg.disc.fused_pairs = True
     else:
         cfg.model.xla_window_merge = True
     cfg.log_every = 50

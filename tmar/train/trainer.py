@@ -236,11 +236,19 @@ class Trainer:
         )
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
-            epoch_metrics: Dict[str, float] = {}
+            # metric accumulation stays ON DEVICE (tiny async scalar adds):
+            # a per-step float(v) readback would fence the pipeline every
+            # step and serialize host data prep with device compute
+            # (measured 2.5 vs 8.85 steps/s wall at b8·128², PERF.md)
+            epoch_acc = None
             n = 0
             for i, batch in enumerate(loader):
                 self.state, metrics = self.train_step(self.state, batch)
                 n += 1
+                epoch_acc = (
+                    metrics if epoch_acc is None
+                    else jax.tree_util.tree_map(lambda a, b: a + b, epoch_acc, metrics)
+                )
                 if (i + 1) % cfg.log_every == 0 or i == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     step_no = int(self.state.step)
@@ -253,8 +261,9 @@ class Trainer:
                         msg = " ".join(f"{k}={v:.4f}" for k, v in host.items()
                                        if k.startswith("loss"))
                         print(f"[epoch {epoch+1}/{epochs} it {i+1}] {msg}", flush=True)
-                for k, v in metrics.items():
-                    epoch_metrics[k] = epoch_metrics.get(k, 0.0) + float(v)
+            epoch_metrics = (
+                {k: float(v) for k, v in epoch_acc.items()} if epoch_acc else {}
+            )
             wall = time.time() - t0
             epoch_summary = {k: v / max(n, 1) for k, v in epoch_metrics.items()}
             epoch_summary.update(epoch=epoch, wall_s=wall, steps_per_s=n / wall)
