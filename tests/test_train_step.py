@@ -199,3 +199,86 @@ def test_fused_pairs_with_sn_trains_finite(mesh8):
     state, metrics = step(state, _batch(mesh8, 8))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_ema_tracks_generator_exactly(mesh8):
+    """g_ema is initialised to θ0 and follows ema ← d·ema + (1−d)·θ through
+    the jit'd step — asserted against a host-side replay of the exact blend
+    over the captured g_params trajectory."""
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
+    g_tx = optax.adam(1e-3)
+    d_tx = optax.adam(2e-3)
+    weights = LossWeights(adv=0, fm=0, edge=0, phys=0, metal=0, beta_weight=0)
+    d = 0.9
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, SIZE, ema_decay=d
+    )
+    # initialised to a copy of the params
+    for e, p in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.g_ema)),
+        jax.tree_util.tree_leaves(jax.device_get(state.g_params)),
+    ):
+        np.testing.assert_array_equal(e, p)
+    step = make_train_step(
+        gen, disc, g_tx, d_tx, weights, mesh=mesh8, donate=False, ema_decay=d
+    )
+    expect = jax.device_get(state.g_params)
+    s = state
+    for i in range(3):
+        s, _ = step(s, _batch(mesh8, 8, seed=10 + i))
+        p = jax.device_get(s.g_params)
+        expect = jax.tree_util.tree_map(
+            lambda e, q: d * e + (1 - d) * q, expect, p
+        )
+    got = jax.device_get(s.g_ema)
+    leaves_e = jax.tree_util.tree_leaves(expect)
+    leaves_g = jax.tree_util.tree_leaves(got)
+    assert len(leaves_e) == len(leaves_g) > 0
+    moved = 0.0
+    for e, g in zip(leaves_e, leaves_g):
+        np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-6)
+        moved += float(np.abs(np.asarray(e, np.float64)).sum())
+    assert moved > 0
+
+
+def test_ema_off_keeps_state_structure(mesh8):
+    """ema_decay=0 leaves g_ema=None — identical pytree structure to the
+    pre-EMA state, so existing checkpoints stay loadable."""
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
+    g_tx, d_tx = optax.adam(1e-3), optax.adam(2e-3)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, SIZE)
+    assert state.g_ema is None
+    weights = LossWeights(adv=0, fm=0, edge=0, phys=0, metal=0, beta_weight=0)
+    step = make_train_step(gen, disc, g_tx, d_tx, weights, mesh=mesh8, donate=False)
+    s, _ = step(state, _batch(mesh8, 8))
+    assert s.g_ema is None
+
+
+def test_ema_checkpoint_roundtrip(mesh8, tmp_path):
+    """A state carrying EMA params survives an orbax save/restore."""
+    from tmar.checkpoint.io import CheckpointManager
+
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
+    g_tx, d_tx = optax.adam(1e-3), optax.adam(2e-3)
+    weights = LossWeights(adv=0, fm=0, edge=0, phys=0, metal=0, beta_weight=0)
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, SIZE, ema_decay=0.9
+    )
+    step = make_train_step(
+        gen, disc, g_tx, d_tx, weights, mesh=mesh8, donate=False, ema_decay=0.9
+    )
+    state, _ = step(state, _batch(mesh8, 8))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, step=1)
+    template = create_train_state(
+        jax.random.PRNGKey(1), gen, disc, g_tx, d_tx, SIZE, ema_decay=0.9
+    )
+    restored, _meta = mgr.restore(template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.g_ema)),
+        jax.tree_util.tree_leaves(jax.device_get(restored.g_ema)),
+    ):
+        np.testing.assert_array_equal(a, b)

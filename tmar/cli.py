@@ -204,7 +204,10 @@ def ablate(argv=None) -> int:
                 gen, run_dir = trainer.generator, trainer.run_dir
                 import jax
 
-                params = jax.device_get(trainer.state.g_params)
+                params = jax.device_get(
+                    trainer.state.g_ema if trainer.state.g_ema is not None
+                    else trainer.state.g_params
+                )
                 history, val_history = trainer.history, trainer.val_history
             summary = evaluate_run(
                 make_inference_fn(gen, params),
@@ -398,6 +401,7 @@ def _load_generator_params(path: str, gen, cfg):
     state = create_train_state(
         jax.random.PRNGKey(0), gen, build_discriminator(cfg),
         optax.adam(1e-4), optax.adam(1e-4), cfg.data.patch_size, cfg.model.in_chans,
+        ema_decay=getattr(cfg.optim, "ema_decay", 0.0),
     )
     mgr = CheckpointManager(path)
     restored = mgr.restore(state, best=os.path.isdir(os.path.join(path, "best")))
@@ -405,7 +409,9 @@ def _load_generator_params(path: str, gen, cfg):
         restored = mgr.restore(state)
     if restored is None:
         raise SystemExit(f"no checkpoint found under {path}")
-    return restored[0].g_params
+    st = restored[0]
+    # EMA runs serve the EMA weights (what validation selected "best" by)
+    return st.g_ema if st.g_ema is not None else st.g_params
 
 
 def _build_test_dataset(cfg):

@@ -168,6 +168,7 @@ def gan_state_shardings(
         d_params=d_split(state.d_params),
         d_sn=jax.tree_util.tree_map(lambda _: repl, state.d_sn),
         d_opt=d_split(state.d_opt),
+        g_ema=split(state.g_ema),  # tree_map over None → None (EMA off)
     )
 
 

@@ -81,6 +81,10 @@ class OptimConfig:
     # (PERF.md train study).  Changes the optimizer-state layout, so
     # checkpoints are not interchangeable across this flag.
     fused_update: bool = False
+    # Exponential moving average of the GENERATOR params (beyond-reference:
+    # standard GAN serving practice).  0.0 = off; typical 0.999.  When on,
+    # validation and the best-PSNR checkpoint select the EMA weights.
+    ema_decay: float = 0.0
 
 
 @dataclasses.dataclass
@@ -168,6 +172,8 @@ def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] 
         leaf = parts[-1]
         if not hasattr(obj, leaf):
             raise KeyError(f"unknown override {key!r}")
+        if isinstance(value, list):
+            value = tuple(value)  # same list→tuple rule as the YAML path
         # object.__setattr__ also works for frozen dataclasses (LossWeights)
         object.__setattr__(obj, leaf, value)
     return cfg

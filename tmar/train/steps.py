@@ -33,6 +33,10 @@ class GANTrainState(flax.struct.PyTreeNode):
     d_params: Any
     d_sn: Any
     d_opt: Any
+    # exponential moving average of g_params (None when EMA is off).
+    # Beyond-reference capability: standard GAN serving practice — the EMA
+    # weights are what validation/inference uses when enabled.
+    g_ema: Any = None
 
 
 def create_train_state(
@@ -43,8 +47,13 @@ def create_train_state(
     d_tx: optax.GradientTransformation,
     patch_size: int,
     in_chans: int = 1,
+    ema_decay: float = 0.0,
 ) -> Tuple[GANTrainState, Callable, Callable]:
-    """Initialise G/D parameters and optimizer states."""
+    """Initialise G/D parameters and optimizer states.
+
+    ``ema_decay > 0`` additionally tracks an exponential moving average of
+    the generator parameters (initialised to a copy — no bias correction
+    needed), updated by the train step and preferred at validation."""
     g_rng, d_rng = jax.random.split(rng)
     x = jnp.zeros((1, patch_size, patch_size, in_chans))
     g_vars = generator.init(g_rng, x)
@@ -56,6 +65,10 @@ def create_train_state(
         d_params=d_vars["params"],
         d_sn=d_vars.get("sn", {}),
         d_opt=d_tx.init(d_vars["params"]),
+        g_ema=(
+            jax.tree_util.tree_map(jnp.array, g_vars["params"])
+            if ema_decay else None
+        ),
     )
     return state
 
@@ -71,6 +84,7 @@ def make_train_step(
     donate: bool = True,
     fused_pairs: bool = False,
     state_shardings=None,
+    ema_decay: float = 0.0,
 ):
     """Build the fused D+G train step.
 
@@ -182,6 +196,15 @@ def make_train_step(
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
+        g_ema = state.g_ema
+        if ema_decay and g_ema is not None:
+            # ema ← d·ema + (1−d)·θ ; ema_decay is trace-time static so the
+            # blend fuses into the optimizer-update fusions.
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                g_ema, g_params,
+            )
+
         metrics = {"loss_d": d_loss, "loss_g": g_loss}
         for k, v in g_terms.items():
             metrics[f"g_{k}"] = v
@@ -193,6 +216,7 @@ def make_train_step(
             d_params=d_params,
             d_sn=d_sn,
             d_opt=d_opt,
+            g_ema=g_ema,
         )
         return new_state, metrics
 

@@ -179,15 +179,18 @@ class Trainer:
             )
         self.projector = projector
 
+        ema_decay = getattr(o, "ema_decay", 0.0)
         self.state = create_train_state(
             jax.random.PRNGKey(cfg.seed), self.generator, self.discriminator,
             g_tx, d_tx, cfg.data.patch_size, cfg.model.in_chans,
+            ema_decay=ema_decay,
         )
         self.state = replicate(self.mesh, self.state)
         self.train_step = make_train_step(
             self.generator, self.discriminator, g_tx, d_tx, cfg.loss,
             projector=projector, mesh=self.mesh,
             fused_pairs=cfg.disc.fused_pairs,
+            ema_decay=ema_decay,
         )
         self.eval_step = make_eval_step(self.generator, mesh=self.mesh)
 
@@ -315,10 +318,16 @@ class Trainer:
         )
         psnrs, mses = [], []
         extra: Dict[str, list] = {}
+        # validate with the EMA weights when tracked (they are what the
+        # best checkpoint serves); raw g_params otherwise
+        g_eval = (
+            self.state.g_ema if self.state.g_ema is not None
+            else self.state.g_params
+        )
         for i, batch in enumerate(loader):
             if i >= max_batches:
                 break
-            fake, m = self.eval_step(self.state.g_params, batch)
+            fake, m = self.eval_step(g_eval, batch)
             psnrs.append(float(m["psnr"]))
             mses.append(float(m["mse"]))
             if full_metrics:
