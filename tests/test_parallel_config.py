@@ -1,0 +1,130 @@
+"""Parallelism layouts reachable from the product surface (VERDICT r2 #4).
+
+`parallel.mode: dp | tp | fsdp` in TrainConfig (hence `tmar-train --set
+parallel.mode=fsdp`) makes the Trainer build gan_state_shardings and thread
+them through the jit'd train step.  These tests run the REAL Trainer over a
+multi-step schedule per mode and assert (a) genuinely sharded layouts,
+(b) numerical agreement across modes, (c) checkpoint resume round-trips of
+the sharded states.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from tmar.train import Trainer, load_config
+
+
+TINY_SETS = {
+    "model.embed_dim": 32,
+    "model.depths": [1, 1, 1],
+    "model.num_heads": [2, 2, 2],
+    "model.dec_dim": 32,
+    "model.dec_depths": 1,
+    "model.dec_num_heads": 2,
+    "data.dataset": "synthetic",
+    "data.patch_size": 64,
+    "data.batch_size": 8,
+    "data.samples_per_epoch": 24,  # 3 steps/epoch
+    "data.num_workers": 0,
+    "radon.num_angles": 12,
+    "loss.dilation_radius": 2,
+    "disc.base_channels": 16,
+    "disc.num_scales": 2,
+    "num_epochs": 1,
+    "checkpoint_every_n_epochs": 1,
+    "bf16": False,
+    "log_every": 100,
+}
+
+
+def _trainer(tmp_path, run_name, **extra):
+    sets = dict(TINY_SETS)
+    sets.update(extra)
+    sets["run_dir"] = str(tmp_path / "runs")
+    sets["run_name"] = run_name
+    cfg = load_config(None, sets)
+    return Trainer(cfg, val_dataset=None)
+
+
+def test_rejects_pallas_attention_with_tp(tmp_path):
+    with pytest.raises(ValueError, match="XLA attention"):
+        _trainer(
+            tmp_path, "bad",
+            **{"parallel.mode": "tp", "parallel.model_parallel": 2,
+               "model.use_pallas_attention": True},
+        )
+
+
+def test_rejects_unknown_mode(tmp_path):
+    with pytest.raises(ValueError, match="parallel.mode"):
+        _trainer(tmp_path, "bad", **{"parallel.mode": "pipeline"})
+
+
+def test_rejects_tp_without_model_parallel(tmp_path):
+    with pytest.raises(ValueError, match="model_parallel"):
+        _trainer(tmp_path, "bad", **{"parallel.mode": "tp"})
+
+
+@pytest.mark.slow
+def test_parallel_modes_multistep_equivalence_and_resume(tmp_path):
+    """3 training steps through the Trainer in each mode (dp / tp / fsdp)
+    from the same seed + data must agree; tp/fsdp states must be REALLY
+    sharded; and resume() must restore the sharded states exactly."""
+    final = {}
+    trainers = {}
+    for mode, extra in (
+        ("dp", {}),
+        ("tp", {"parallel.mode": "tp", "parallel.model_parallel": 2}),
+        ("fsdp", {"parallel.mode": "fsdp"}),
+    ):
+        tr = _trainer(tmp_path, f"run_{mode}", **extra)
+        if mode == "tp":
+            qkv = tr.state.g_params["encoder_layer1"]["blocks_0"]["attn"]["qkv"]["kernel"]
+            cols = {s.data.shape[1] for s in qkv.addressable_shards}
+            assert cols == {qkv.shape[1] // 2}, cols  # Megatron-split
+        if mode == "fsdp":
+            qkv = tr.state.g_params["encoder_layer1"]["blocks_0"]["attn"]["qkv"]["kernel"]
+            cols = {s.data.shape[1] for s in qkv.addressable_shards}
+            assert cols == {qkv.shape[1] // 8}, cols  # ZeRO-sharded
+        tr.fit()
+        assert int(tr.state.step) == 3
+        final[mode] = jax.device_get(tr.state.g_params)
+        trainers[mode] = tr
+
+    for mode in ("tp", "fsdp"):
+        delta = max(
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(
+                    lambda a, b: float(np.max(np.abs(a - b))),
+                    final["dp"], final[mode],
+                )
+            )
+        )
+        assert delta < 2e-3, (mode, delta)
+
+    # checkpoint round-trip of the SHARDED states: a fresh Trainer per mode
+    # restores the saved (gathered) checkpoint back into its sharded layout
+    for mode, extra in (
+        ("tp", {"parallel.mode": "tp", "parallel.model_parallel": 2}),
+        ("fsdp", {"parallel.mode": "fsdp"}),
+    ):
+        tr2 = _trainer(tmp_path, f"run_{mode}", **extra)
+        assert tr2.resume()
+        got = jax.device_get(tr2.state.g_params)
+        delta = max(
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(
+                    lambda a, b: float(np.max(np.abs(a - b))), got, final[mode]
+                )
+            )
+        )
+        assert delta == 0.0, (mode, delta)
+        # restored state is sharded again, not replicated
+        qkv = tr2.state.g_params["encoder_layer1"]["blocks_0"]["attn"]["qkv"]["kernel"]
+        cols = {s.data.shape[1] for s in qkv.addressable_shards}
+        expect = qkv.shape[1] // (2 if mode == "tp" else 8)
+        assert cols == {expect}, (mode, cols)

@@ -202,9 +202,10 @@ def test_fused_pairs_with_sn_trains_finite(mesh8):
 
 
 def test_ema_tracks_generator_exactly(mesh8):
-    """g_ema is initialised to θ0 and follows ema ← d·ema + (1−d)·θ through
-    the jit'd step — asserted against a host-side replay of the exact blend
-    over the captured g_params trajectory."""
+    """g_ema is initialised to θ0 and follows ema ← d_t·ema + (1−d_t)·θ with
+    the warmed-up decay d_t = min(d, (1+t)/(10+t)) through the jit'd step —
+    asserted against a host-side replay of the exact blend over the captured
+    g_params trajectory."""
     gen = NGswin(**TINY)
     disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
     g_tx = optax.adam(1e-3)
@@ -223,23 +224,50 @@ def test_ema_tracks_generator_exactly(mesh8):
     step = make_train_step(
         gen, disc, g_tx, d_tx, weights, mesh=mesh8, donate=False, ema_decay=d
     )
-    expect = jax.device_get(state.g_params)
+    theta0 = jax.device_get(state.g_params)
+    expect = theta0
     s = state
     for i in range(3):
         s, _ = step(s, _batch(mesh8, 8, seed=10 + i))
         p = jax.device_get(s.g_params)
+        eff_d = min(d, (1.0 + i) / (10.0 + i))  # warmup: t = pre-update step
         expect = jax.tree_util.tree_map(
-            lambda e, q: d * e + (1 - d) * q, expect, p
+            lambda e, q: eff_d * e + (1 - eff_d) * q, expect, p
         )
     got = jax.device_get(s.g_ema)
     leaves_e = jax.tree_util.tree_leaves(expect)
     leaves_g = jax.tree_util.tree_leaves(got)
     assert len(leaves_e) == len(leaves_g) > 0
-    moved = 0.0
     for e, g in zip(leaves_e, leaves_g):
         np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-6)
-        moved += float(np.abs(np.asarray(e, np.float64)).sum())
-    assert moved > 0
+    # the EMA must actually have diverged from θ0 (warmup makes early steps
+    # track the trained params closely, so this is far from vacuous)
+    diverged = max(
+        float(np.max(np.abs(np.asarray(g, np.float64) - np.asarray(t0, np.float64))))
+        for g, t0 in zip(leaves_g, jax.tree_util.tree_leaves(theta0))
+    )
+    assert diverged > 0
+
+
+def test_ema_wiring_mistakes_raise(mesh8):
+    """ema_decay>0 with an EMA-less state (and the converse) must raise at
+    trace time instead of silently no-opping (ADVICE r2)."""
+    gen = NGswin(**TINY)
+    disc = MultiScaleDiscriminator(base_channels=16, num_scales=2)
+    g_tx, d_tx = optax.adam(1e-3), optax.adam(2e-3)
+    weights = LossWeights(adv=0, fm=0, edge=0, phys=0, metal=0, beta_weight=0)
+    no_ema = create_train_state(jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, SIZE)
+    step = make_train_step(
+        gen, disc, g_tx, d_tx, weights, mesh=mesh8, donate=False, ema_decay=0.9
+    )
+    with pytest.raises(ValueError, match="g_ema is None"):
+        step(no_ema, _batch(mesh8, 8))
+    with_ema = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, SIZE, ema_decay=0.9
+    )
+    step0 = make_train_step(gen, disc, g_tx, d_tx, weights, mesh=mesh8, donate=False)
+    with pytest.raises(ValueError, match="ema_decay=0"):
+        step0(with_ema, _batch(mesh8, 8))
 
 
 def test_ema_off_keeps_state_structure(mesh8):

@@ -398,15 +398,29 @@ def _load_generator_params(path: str, gen, cfg):
     from tmar.train.trainer import build_discriminator
     import optax
 
-    state = create_train_state(
-        jax.random.PRNGKey(0), gen, build_discriminator(cfg),
-        optax.adam(1e-4), optax.adam(1e-4), cfg.data.patch_size, cfg.model.in_chans,
-        ema_decay=getattr(cfg.optim, "ema_decay", 0.0),
-    )
+    def _template(ema_decay: float):
+        return create_train_state(
+            jax.random.PRNGKey(0), gen, build_discriminator(cfg),
+            optax.adam(1e-4), optax.adam(1e-4),
+            cfg.data.patch_size, cfg.model.in_chans, ema_decay=ema_decay,
+        )
+
+    def _restore(state):
+        restored = mgr.restore(state, best=os.path.isdir(os.path.join(path, "best")))
+        if restored is None:
+            restored = mgr.restore(state)
+        return restored
+
     mgr = CheckpointManager(path)
-    restored = mgr.restore(state, best=os.path.isdir(os.path.join(path, "best")))
-    if restored is None:
-        restored = mgr.restore(state)
+    # Whether the saved tree carries g_ema is a property of the TRAINING
+    # run, not of this (possibly different) serving config: try the
+    # config-implied layout first, and on an orbax structure mismatch retry
+    # with the other layout instead of surfacing an opaque pytree error.
+    cfg_ema = getattr(cfg.optim, "ema_decay", 0.0)
+    try:
+        restored = _restore(_template(cfg_ema))
+    except Exception:
+        restored = _restore(_template(0.0 if cfg_ema else 1.0))
     if restored is None:
         raise SystemExit(f"no checkpoint found under {path}")
     st = restored[0]

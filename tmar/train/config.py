@@ -99,6 +99,25 @@ class RadonConfig:
 
 
 @dataclasses.dataclass
+class ParallelConfig:
+    """Mesh layout for the train step (tmar.core.mesh).
+
+    ``dp``   — batch sharded over the data axis, params replicated (the
+               canonical layout; the reference's only analogue is a dormant
+               ``ngpu`` switch, train_combined.py:95,234-235).
+    ``tp``   — generator params + optimizer moments Megatron-split over a
+               ``model_parallel``-wide model axis (gan_state_shardings).
+    ``fsdp`` — ZeRO: every eligible param/moment leaf of BOTH networks
+               sharded over the data axis.
+    tp/fsdp require the plain XLA attention path (the fused Pallas kernels
+    expect unsharded operands) — Trainer enforces this.
+    """
+
+    mode: str = "dp"            # "dp" | "tp" | "fsdp"
+    model_parallel: int = 1     # model-axis size (tp only; must divide n_devices)
+
+
+@dataclasses.dataclass
 class DataConfig:
     dataset: str = "synthetic"   # "syndeeplesion" | "spineweb" | "synthetic"
     root: str = ""
@@ -119,6 +138,7 @@ class TrainConfig:
     loss: LossWeights = dataclasses.field(default_factory=LossWeights)
     radon: RadonConfig = dataclasses.field(default_factory=RadonConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
 
     num_epochs: int = 100
     val_every_n_epochs: int = 5

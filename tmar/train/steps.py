@@ -197,12 +197,31 @@ def make_train_step(
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         g_ema = state.g_ema
-        if ema_decay and g_ema is not None:
-            # ema ← d·ema + (1−d)·θ ; ema_decay is trace-time static so the
-            # blend fuses into the optimizer-update fusions.
+        if ema_decay:
+            if g_ema is None:
+                # trace-time structure check: a silent no-op here would hide
+                # a caller wiring mistake (EMA requested but the state was
+                # built without it) for the whole run
+                raise ValueError(
+                    "ema_decay > 0 but state.g_ema is None — build the state "
+                    "with create_train_state(..., ema_decay=ema_decay)"
+                )
+            # ema ← d_t·ema + (1−d_t)·θ with a warmed-up decay
+            # d_t = min(d, (1+t)/(10+t)): without warmup, runs much shorter
+            # than 1/(1−d) steps would validate/select-best on weights stuck
+            # near θ0.
+            t = state.step.astype(jnp.float32)
+            eff_d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
             g_ema = jax.tree_util.tree_map(
-                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                lambda e, p: e * eff_d.astype(e.dtype)
+                + p.astype(e.dtype) * (1.0 - eff_d).astype(e.dtype),
                 g_ema, g_params,
+            )
+        elif g_ema is not None:
+            raise ValueError(
+                "state carries g_ema but ema_decay=0 — pass the training "
+                "ema_decay to make_train_step (a stale EMA would otherwise "
+                "be carried forever)"
             )
 
         metrics = {"loss_d": d_loss, "loss_g": g_loss}

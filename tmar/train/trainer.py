@@ -131,7 +131,28 @@ def build_val_dataset(cfg: TrainConfig):
 class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None, val_dataset=None):
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else create_mesh(cfg.n_devices)
+        par = getattr(cfg, "parallel", None)
+        mode = getattr(par, "mode", "dp") if par else "dp"
+        if mode not in ("dp", "tp", "fsdp"):
+            raise ValueError(f"unknown parallel.mode {mode!r} (dp | tp | fsdp)")
+        if mode != "dp" and getattr(cfg.model, "use_pallas_attention", False):
+            raise ValueError(
+                "parallel.mode=tp/fsdp requires the plain XLA attention path "
+                "(set model.use_pallas_attention=false) — the fused Pallas "
+                "kernels expect unsharded operands"
+            )
+        mp = getattr(par, "model_parallel", 1) if par else 1
+        if mode == "tp" and mp < 2:
+            raise ValueError(
+                "parallel.mode=tp needs parallel.model_parallel >= 2"
+            )
+        if mode != "tp":
+            mp = 1
+        self.parallel_mode = mode
+        self.mesh = (
+            mesh if mesh is not None
+            else create_mesh(cfg.n_devices, model_parallel=mp)
+        )
         self.generator = build_generator(cfg)
         self.discriminator = build_discriminator(cfg)
 
@@ -185,11 +206,29 @@ class Trainer:
             g_tx, d_tx, cfg.data.patch_size, cfg.model.in_chans,
             ema_decay=ema_decay,
         )
-        self.state = replicate(self.mesh, self.state)
+        # State placement per parallel.mode: replicated for dp; TP/FSDP
+        # sharding trees from tmar.core.mesh otherwise (XLA derives the
+        # collectives — psum / all-gather / reduce-scatter — from these
+        # annotations alone).
+        if self.parallel_mode == "dp":
+            self.state_shardings = None
+            self.state = replicate(self.mesh, self.state)
+        else:
+            from tmar.core.mesh import gan_state_shardings
+
+            self.state_shardings = gan_state_shardings(
+                self.mesh, self.state,
+                tensor_parallel=(self.parallel_mode == "tp"),
+                fsdp=(self.parallel_mode == "fsdp"),
+            )
+            self.state = jax.device_put(
+                jax.device_get(self.state), self.state_shardings
+            )
         self.train_step = make_train_step(
             self.generator, self.discriminator, g_tx, d_tx, cfg.loss,
             projector=projector, mesh=self.mesh,
             fused_pairs=cfg.disc.fused_pairs,
+            state_shardings=self.state_shardings,
             ema_decay=ema_decay,
         )
         self.eval_step = make_eval_step(self.generator, mesh=self.mesh)
@@ -221,7 +260,10 @@ class Trainer:
         if restored is None:
             return False
         state, meta = restored
-        self.state = replicate(self.mesh, state)
+        if self.state_shardings is None:
+            self.state = replicate(self.mesh, state)
+        else:
+            self.state = jax.device_put(state, self.state_shardings)
         self.start_epoch = int(meta.get("epoch", 0))
         self.best_psnr = float(meta.get("best_psnr", -np.inf))
         return True
@@ -324,6 +366,10 @@ class Trainer:
             self.state.g_ema if self.state.g_ema is not None
             else self.state.g_params
         )
+        if self.state_shardings is not None:
+            # TP/FSDP-sharded params: gather to the replicated layout the
+            # eval step's in_shardings expect (an on-device all-gather)
+            g_eval = replicate(self.mesh, g_eval)
         for i, batch in enumerate(loader):
             if i >= max_batches:
                 break
