@@ -229,6 +229,88 @@ def test_default_stripe_geometry_matches_math(monkeypatch):
     )
 
 
+def _rand_args(dim, heads, wh, ww, seed=7):
+    from tmar.ops.attention import gather_rel_pos_bias, relative_position_index
+
+    half = dim // 2
+    A = (half // heads) * heads
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.standard_normal((2, wh, ww, half)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((half, 3 * A)).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.standard_normal((3 * A,)).astype(np.float32) * 0.1)
+    ls = jnp.asarray(rng.standard_normal((heads, 1, 1)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((9, heads)).astype(np.float32) * 0.02)
+    bias = gather_rel_pos_bias(table, relative_position_index(2, 2), heads)
+    wproj = jnp.asarray(rng.standard_normal((A, half)).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.standard_normal((half,)).astype(np.float32) * 0.1)
+    wmerge = jnp.asarray(rng.standard_normal((dim, dim)).astype(np.float32) * 0.2)
+    bmerge = jnp.asarray(rng.standard_normal((dim,)).astype(np.float32) * 0.1)
+    return (u, wqkv, bqkv, ls, bias, wproj, bproj, wmerge, bmerge)
+
+
+@pytest.mark.parametrize(
+    "wh,ww,stripes",
+    [
+        (8, 8, 2),     # middle/first/last stripe variants
+        (8, 8, 4),     # single-halo-dominated stripes
+        (6, 5, 3),     # odd ww (packed-reshape detour) + S=2 minimum
+        (4, 4, 2),
+    ],
+)
+def test_striped_backward_matches_math(wh, ww, stripes):
+    """The STRIPED recompute backward (grid over window-rows, du halo
+    assembly on the host) must match the jax.vjp of the composition for all
+    nine parameter cotangents + the input at multi-stripe geometries —
+    the r2 whole-map backward was gated to ≤32×32 grids (VERDICT r2 #5)."""
+    from tmar.ops.pallas_ngram import fused_ngram_context
+
+    heads = 6
+    args = _rand_args(64, heads, wh, ww)
+
+    def loss(mode, S, *a):
+        out = fused_ngram_context(
+            *a, heads, interpret=True, backward=mode, stripe_rows=S,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    S = wh // stripes
+    gp = jax.grad(
+        lambda *a: loss("pallas", S, *a), argnums=tuple(range(9))
+    )(*args)
+    gm = jax.grad(lambda *a: loss(None, None, *a), argnums=tuple(range(9)))(*args)
+    names = ["u", "wqkv", "bqkv", "logit_scale", "bias", "wproj", "bproj",
+             "wmerge", "bmerge"]
+    for nm, a, b in zip(names, gp, gm):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5, err_msg=nm
+        )
+
+
+@pytest.mark.slow
+def test_fullslice_grid_striped_backward_matches_math():
+    """The 416² full-slice geometry (52×52 window grid — the exact shape the
+    r2 gate silently demoted to the composition backward) through the
+    DEFAULT stripe choice: grads must match the composition vjp."""
+    from tmar.ops.pallas_ngram import _stripe_rows, fused_ngram_context
+
+    wh = ww = 52
+    heads = 6
+    S = _stripe_rows(wh, ww)
+    assert S < wh and wh % S == 0  # really multi-stripe at this size
+    args = _rand_args(64, heads, wh, ww, seed=13)
+
+    def loss(mode, *a):
+        out = fused_ngram_context(*a, heads, interpret=True, backward=mode)
+        return jnp.sum(out * jnp.cos(out))
+
+    gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 3, 7))(*args)
+    gm = jax.grad(lambda *a: loss(None, *a), argnums=(0, 1, 3, 7))(*args)
+    for nm, a, b in zip(["u", "wqkv", "logit_scale", "wmerge"], gp, gm):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=nm
+        )
+
+
 @pytest.mark.slow
 def test_flagship_grid_striping_exact():
     """The DEFAULT stripe choice at the 512² stage-1 geometry (64x64 grid

@@ -243,6 +243,12 @@ def compare(argv=None) -> int:
                     help="name=<shell command> out-of-process adapters; the "
                          "command gets <input.npz> <output.npy> appended "
                          "(tmar.eval.adapters.SubprocessAdapter protocol)")
+    ap.add_argument("--dudo", nargs="*", default=[],
+                    help="name=<params.pkl> entries for the in-tree "
+                         "dual-domain net (tmar-finetune --arch dudo output); "
+                         "implies --sinograms")
+    ap.add_argument("--dudo-stages", type=int, default=4)
+    ap.add_argument("--dudo-channels", type=int, default=32)
     ap.add_argument("--sinograms", action="store_true",
                     help="synthesize Sma/SLI/Tr sinograms for dual-domain adapters")
     ap.add_argument("--composites", type=int, default=3,
@@ -276,12 +282,10 @@ def compare(argv=None) -> int:
         if not cmd:
             raise SystemExit(f"--adapter expects name=command, got {spec!r}")
         entries.append(ModelEntry(name, runner=SubprocessAdapter(shlex.split(cmd))))
-    if not entries:
-        raise SystemExit("no entries: pass --checkpoints and/or --adapter")
 
     ds = _build_test_dataset(cfg)
     radon = None
-    if args.sinograms:
+    if args.sinograms or args.dudo:
         import numpy as np
 
         from tmar.ops import Radon
@@ -290,6 +294,23 @@ def compare(argv=None) -> int:
         radon = Radon(
             size, np.linspace(0, np.pi, cfg.radon.num_angles, endpoint=False)
         )
+    for spec in args.dudo:
+        import pickle
+
+        from tmar.eval.adapters import make_dudo_runner
+        from tmar.nn import DuDoMARNet
+
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--dudo expects name=params.pkl, got {spec!r}")
+        with open(path, "rb") as f:
+            dudo_params = pickle.load(f)
+        net = DuDoMARNet(
+            projector=radon, stages=args.dudo_stages, channels=args.dudo_channels
+        )
+        entries.append(ModelEntry(name, runner=make_dudo_runner(net, dudo_params)))
+    if not entries:
+        raise SystemExit("no entries: pass --checkpoints / --adapter / --dudo")
     results = run_comparison(
         entries, ds, args.out, num_samples=args.num_samples, seed=args.seed,
         radon=radon, composite_samples=args.composites,
@@ -305,8 +326,16 @@ def finetune_cmd(argv=None) -> int:
     _honor_env_platforms()
     ap = argparse.ArgumentParser(prog="tmar-finetune")
     ap.add_argument("--arch", default="redcnn",
-                    choices=["redcnn", "transformer", "bafresnet"],
-                    help="benchmark architecture to fine-tune")
+                    choices=["redcnn", "transformer", "bafresnet", "dudo"],
+                    help="benchmark architecture to fine-tune (dudo = the "
+                         "in-tree dual-domain unrolled net, tmar.nn.dudo)")
+    ap.add_argument("--stages", type=int, default=4,
+                    help="dudo only: unrolled proximal iterations")
+    ap.add_argument("--channels", type=int, default=32,
+                    help="dudo only: cross-stage memory channels")
+    ap.add_argument("--freeze-stages", type=int, default=0,
+                    help="dudo only: freeze the first N stages + prior "
+                         "(reference --mepnet_freeze_stages semantics)")
     ap.add_argument("--artifact-dir", default=None)
     ap.add_argument("--clean-dir", default=None)
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
@@ -353,19 +382,33 @@ def finetune_cmd(argv=None) -> int:
         args.artifact_dir, args.clean_dir,
         patch_size=args.patch_size, mode=args.mode,
     )
-    model = {"redcnn": RedCNN, "transformer": DenoisingTransformer,
-             "bafresnet": BAFResNet}[args.arch]()
     projector = None
-    if args.lambda_sino:
+    if args.lambda_sino or args.arch == "dudo":
         projector = Radon(
             args.patch_size,
             np.linspace(0, np.pi, args.num_angles, endpoint=False),
         )
+    freeze_prefixes = ()
+    if args.arch == "dudo":
+        # the in-tree dual-domain net (reference fine-tunes InDuDoNet-class
+        # models with the same loop, finetune_all_benchmarks.py:1523-1650)
+        from tmar.nn import DuDoMARNet
+        from tmar.train.finetune import dudo_freeze_prefixes
+
+        model = DuDoMARNet(
+            projector=projector, stages=args.stages, channels=args.channels
+        )
+        if args.freeze_stages:
+            freeze_prefixes = dudo_freeze_prefixes(args.freeze_stages)
+    else:
+        model = {"redcnn": RedCNN, "transformer": DenoisingTransformer,
+                 "bafresnet": BAFResNet}[args.arch]()
     result = finetune(
         model, ds,
         num_epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         weights=FinetuneWeights(sino=args.lambda_sino),
         projector=projector, progress=True,
+        freeze_prefixes=freeze_prefixes,
     )
     os.makedirs(args.out, exist_ok=True)
     import pickle

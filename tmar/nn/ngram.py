@@ -181,16 +181,11 @@ class NGramContext(nn.Module):
                 interpret=interpret,
                 # training on the pallas kernels: megakernel primal + fused
                 # recompute backward (2 kernels/block instead of the ~30-XLA-
-                # kernel context fwd+bwd swarm).  The backward kernel holds
-                # the whole map per image (train grids are small); above
-                # 32x32 grids its VMEM need outgrows the 64 MB grant, so
-                # large-map differentiation (e.g. full-slice finetuning)
-                # falls back to the composition path.
-                backward=(
-                    "pallas"
-                    if self.attn_backward == "pallas" and wh * ww <= 1024
-                    else None
-                ),
+                # kernel context fwd+bwd swarm).  The backward is striped
+                # over window-rows like the forward, so VMEM stays bounded
+                # at any map size (416² full-slice training runs the fused
+                # path too — the r2 ≤32×32 gate is gone).
+                backward="pallas" if self.attn_backward == "pallas" else None,
             )
 
         attn = WindowAttention(

@@ -182,6 +182,7 @@ def fused_ngram_context(
             return _backward(
                 *res, g, num_heads=num_heads, interpret=interpret,
                 has_bqkv=has_bqkv, has_bproj=has_bproj,
+                stripe_rows=stripe_rows,
             )
     else:
         def op_fwd(*a):
@@ -324,11 +325,26 @@ def _forward(
 
 def _backward(
     u, wqkv, bqkv, logit_scale, bias, wproj, bproj, wmerge, bmerge, g,
-    *, num_heads, interpret, has_bqkv, has_bproj,
+    *, num_heads, interpret, has_bqkv, has_bproj, stripe_rows=None,
 ):
-    """Fused recompute backward of the context megakernel: ONE kernel per
-    image emits every cotangent (du plus all nine parameter grads, the
-    latter grid-accumulated in f32)."""
+    """Fused recompute backward, striped over window-rows like the forward.
+
+    Grid = (image, window-row stripe) with ±1-row halo refs, so VMEM stays
+    bounded at ANY map size (the r2 whole-map kernel was gated to ≤32×32
+    grids; full-slice 416² training needs 52×52).  Each stripe emits
+
+    * its ``[S+2]``-row du contribution in f32 — own rows plus one halo row
+      on each side, because the shift transposes scatter cotangents into the
+      vertical neighbours; two host-side adds fold the halo rows into the
+      neighbouring stripes' cores, and
+    * grid-accumulated f32 parameter cotangents.  Exactness: every stripe
+      pushes only its OWN rows' attention cotangents through the (linear in
+      the cotangent) norm/projection tails, using primal values recomputed
+      at halo rows identically to the owning stripe — so summing per-stripe
+      contributions equals the whole-map backward.
+
+    With S == wh (one stripe) this reduces exactly to the whole-map kernel.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -348,10 +364,13 @@ def _backward(
         C=C, A=A, nh=nh, D=D, cd=cd,
     )
 
+    S = stripe_rows if stripe_rows is not None else _stripe_rows(wh, ww)
+    assert wh % S == 0 and (S >= 2 or S == wh), (wh, S)
+    nr = wh // S
     kernel = functools.partial(
-        _ngram_bwd_kernel, wh=wh, ww=ww, C=C, A=A, nh=nh, D=D,
+        _ngram_bwd_stripe_kernel, S=S, nr=nr, ww=ww, C=C, A=A, nh=nh, D=D,
     )
-    c0 = lambda b: (0, 0)  # noqa: E731
+    c0 = lambda b, r: (0, 0)  # noqa: E731
     # ONE ordered list drives both the BlockSpecs and the operand tuple
     extras = [
         (p["wq"], (C, A)), (p["wk"], (C, A)), (p["wv"], (C, A)),
@@ -365,7 +384,10 @@ def _backward(
         (p["h1"], (A, nh)), (p["h1T"], (nh, A)),
     ]
     out_decl = [
-        ((B, wh, ww, C), cd, pl.BlockSpec((1, wh, ww, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)),
+        # per-stripe du contribution: own S rows + 1 halo row each side
+        ((B, nr, S + 2, ww, C), jnp.float32, pl.BlockSpec(
+            (1, 1, S + 2, ww, C), lambda b, r: (b, r, 0, 0, 0),
+            memory_space=pltpu.VMEM)),
         ((C, A), jnp.float32, pl.BlockSpec((C, A), c0, memory_space=pltpu.VMEM)),   # dwq
         ((C, A), jnp.float32, pl.BlockSpec((C, A), c0, memory_space=pltpu.VMEM)),   # dwk
         ((C, A), jnp.float32, pl.BlockSpec((C, A), c0, memory_space=pltpu.VMEM)),   # dwv
@@ -380,12 +402,25 @@ def _backward(
         ((C, D), jnp.float32, pl.BlockSpec((C, D), c0, memory_space=pltpu.VMEM)),   # dwm_b
         ((1, D), jnp.float32, pl.BlockSpec((1, D), c0, memory_space=pltpu.VMEM)),   # dbm
     ]
+    # the input rides in three times (own stripe + single-row halo blocks,
+    # clamped at the boundary) exactly as in the striped forward
+    row_spec = lambda f: pl.BlockSpec(  # noqa: E731
+        (1, 1, ww, C), f, memory_space=pltpu.VMEM
+    )
     outs = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, nr),
         in_specs=[
-            pl.BlockSpec((1, wh, ww, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wh, ww, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            row_spec(lambda b, r: (b, jnp.maximum(S * r - 1, 0), 0, 0)),
+            pl.BlockSpec(
+                (1, S, ww, C), lambda b, r: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            row_spec(lambda b, r: (b, jnp.minimum(S * (r + 1), wh - 1), 0, 0)),
+            pl.BlockSpec(
+                (1, S, ww, D), lambda b, r: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ] + [pl.BlockSpec(shape, c0, memory_space=pltpu.VMEM) for _, shape in extras],
         out_specs=[spec for _, _, spec in out_decl],
         out_shape=[jax.ShapeDtypeStruct(shape, dt) for shape, dt, _ in out_decl],
@@ -393,9 +428,20 @@ def _backward(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(u, g, *[a for a, _ in extras])
-    (du, dwq_, dwk_, dwv_, dbq_, dbk_, dbv_, dscale_e, dbias_pq_, dwproj_,
+    )(u, u, u, g, *[a for a, _ in extras])
+    (du_ext, dwq_, dwk_, dwv_, dbq_, dbk_, dbv_, dscale_e, dbias_pq_, dwproj_,
      dbproj_, dwm_f_, dwm_b_, dbm_) = outs
+
+    # fold the halo rows into the neighbouring stripes' cores: the top halo
+    # of stripe r targets global row r·S−1 (stripe r−1, local S−1), the
+    # bottom halo targets row (r+1)·S (stripe r+1, local 0).  Boundary
+    # halos are zero by construction (the seq_refl variants never write
+    # outside the map).
+    core = du_ext[:, :, 1 : S + 1]                  # (B, nr, S, ww, C) f32
+    if nr > 1:
+        core = core.at[:, :-1, S - 1].add(du_ext[:, 1:, 0])
+        core = core.at[:, 1:, 0].add(du_ext[:, :-1, S + 1])
+    du = core.reshape(B, wh, ww, C).astype(cd)
 
     dwqkv = jnp.concatenate([dwq_, dwk_, dwv_], axis=1).astype(wqkv.dtype)
     dbqkv = jnp.concatenate(
@@ -439,29 +485,6 @@ def _rs(t, shape, rows):
     return t.reshape(shape)
 
 
-def _shift_tokens_fwd(t3, wh, ww):
-    """Token maps for the FORWARD sliding window at each grid position:
-    t = (di, dj) row-major over {0,1}^2 -> map shifted by (di, dj) with the
-    sequence-reflective edge (row/col L-2) spliced past the boundary
-    (seq_refl_win_pad(back=False) semantics, tmar.ops.ngram)."""
-    right = jnp.concatenate([t3[:, 1:, :], t3[:, ww - 2 : ww - 1, :]], axis=1)
-    down = jnp.concatenate([t3[1:, :, :], t3[wh - 2 : wh - 1, :, :]], axis=0)
-    downright = jnp.concatenate(
-        [right[1:, :, :], right[wh - 2 : wh - 1, :, :]], axis=0
-    )
-    return [t3, right, down, downright]
-
-
-def _shift_tokens_bwd(t3, wh, ww):
-    """Token maps for the BACKWARD window: t = (di, dj) reads position
-    (i - 1 + di, j - 1 + dj), with row/col -1 reflecting to index 1
-    (seq_refl_win_pad(back=True) semantics)."""
-    left = jnp.concatenate([t3[:, 1:2, :], t3[:, : ww - 1, :]], axis=1)
-    up = jnp.concatenate([t3[1:2, :, :], t3[: wh - 1, :, :]], axis=0)
-    upleft = jnp.concatenate([left[1:2, :, :], left[: wh - 1, :, :]], axis=0)
-    return [upleft, up, left, t3]
-
-
 def _zeros_rows(n, ww, X, dt):
     return jnp.zeros((n, ww, X), dt)
 
@@ -483,18 +506,6 @@ def _right_T(dy, wh, ww):
     return base + jnp.concatenate(refl_pieces, axis=1)
 
 
-def _down_T(dy, wh, ww):
-    """Transpose of the forward 'down' shift (row i+1, reflect wh-2)."""
-    X, dt = dy.shape[-1], dy.dtype
-    base = jnp.concatenate([_zeros_rows(1, ww, X, dt), dy[: wh - 1, :, :]], axis=0)
-    refl_pieces = []
-    if wh - 2 > 0:
-        refl_pieces.append(_zeros_rows(wh - 2, ww, X, dt))
-    refl_pieces.append(dy[wh - 1 : wh, :, :])
-    refl_pieces.append(_zeros_rows(1, ww, X, dt))
-    return base + jnp.concatenate(refl_pieces, axis=0)
-
-
 def _left_T(dy, wh, ww):
     """Transpose of the backward 'left' shift (col j-1, reflect col 1):
     dx[:, :ww-1] = dy[:, 1:]; dx[:, 1] += dy[:, 0]."""
@@ -506,70 +517,49 @@ def _left_T(dy, wh, ww):
     return base + jnp.concatenate(refl_pieces, axis=1)
 
 
-def _up_T(dy, wh, ww):
-    """Transpose of the backward 'up' shift (row i-1, reflect row 1)."""
-    X, dt = dy.shape[-1], dy.dtype
-    base = jnp.concatenate([dy[1:, :, :], _zeros_rows(1, ww, X, dt)], axis=0)
-    refl_pieces = [_zeros_rows(1, ww, X, dt), dy[0:1, :, :]]
-    if wh - 2 > 0:
-        refl_pieces.append(_zeros_rows(wh - 2, ww, X, dt))
-    return base + jnp.concatenate(refl_pieces, axis=0)
-
-
-def _unshift_add_fwd(grads, wh, ww):
-    """Scatter-add FORWARD-direction shifted cotangents [t0..t3] back to map
-    coordinates: transposes of [id, R, D, D∘R]."""
-    g0, g1, g2, g3 = grads
-    return (
-        g0
-        + _right_T(g1, wh, ww)
-        + _down_T(g2, wh, ww)
-        + _right_T(_down_T(g3, wh, ww), wh, ww)
-    )
-
-
-def _unshift_add_bwd(grads, wh, ww):
-    """Scatter-add BACKWARD-direction shifted cotangents [t0..t3] back:
-    transposes of [U∘L, U, L, id]."""
-    g0, g1, g2, g3 = grads
-    return (
-        _left_T(_up_T(g0, wh, ww), wh, ww)
-        + _up_T(g1, wh, ww)
-        + _left_T(g2, wh, ww)
-        + g3
-    )
-
-
-def _ngram_bwd_kernel(
-    x_ref, g_ref,
+def _ngram_bwd_stripe_kernel(
+    xp_ref, xo_ref, xn_ref, g_ref,
     wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     scale_ref, biaspq_ref, wproj_ref, bproj_ref, wmf_ref, wmb_ref,
     wqT_ref, wkT_ref, wvT_ref, wprojT_ref, wmfT_ref, wmbT_ref,
     h1_ref, h1t_ref,
     du_ref, dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
     dscale_ref, dbias_ref, dwproj_ref, dbproj_ref, dwmf_ref, dwmb_ref,
-    dbm_ref, *, wh, ww, C, A, nh, D,
+    dbm_ref, *, S, nr, ww, C, A, nh, D,
 ):
+    """Recompute backward for one stripe of S grid-rows (grid = (B, wh/S));
+    ``xp``/``xn`` carry single halo rows exactly like the striped forward.
+    Attention cotangents of the stripe's OWN rows are unshifted (transposed)
+    into the ``[S+2]``-row ext coordinate frame — the vertical transposes
+    write one row past the stripe on each side — and pushed through the
+    norm/qkv backward using ext-row primal values.  du contributions leave
+    the kernel per-stripe (host folds the halo rows); parameter cotangents
+    accumulate across the whole grid."""
     from jax.experimental import pallas as pl
 
     b = pl.program_id(0)
+    r = pl.program_id(1)
+    is_first = r == 0
+    is_last = r == nr - 1
 
-    @pl.when(b == 0)
+    @pl.when((b == 0) & (r == 0))
     def _init():
-        for r in (dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
-                  dscale_ref, dbias_ref, dwproj_ref, dbproj_ref, dwmf_ref,
-                  dwmb_ref, dbm_ref):
-            r[:] = jnp.zeros_like(r)
+        for rf in (dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
+                   dscale_ref, dbias_ref, dwproj_ref, dbproj_ref, dwmf_ref,
+                   dwmb_ref, dbm_ref):
+            rf[:] = jnp.zeros_like(rf)
 
-    R = wh * ww
-    cd = x_ref.dtype
+    cd = xo_ref.dtype
     h1_cd = h1_ref[:]
     h1t_cd = h1t_ref[:]
     scale = scale_ref[:]
 
-    # ---- recompute the forward (same op sequence as _ngram_stripe_kernel's
-    # single-stripe S==wh case, which this whole-map backward mirrors) ------
-    u2 = _rs(x_ref[0], (R, C), ww)
+    # ---- recompute the forward over the ext rows (identically to the
+    # striped forward kernel, so halo-row primals match the owning stripe) --
+    ext = jnp.concatenate([xp_ref[0], xo_ref[0], xn_ref[0]], axis=0)
+    RE = (S + 2) * ww
+    RS = S * ww
+    u2 = _rs(ext, (RE, C), ww)
 
     def _proj(w_ref, b_ref):
         return jnp.dot(u2, w_ref[:], preferred_element_type=jnp.float32) + b_ref[:]
@@ -581,42 +571,113 @@ def _ngram_bwd_kernel(
     def _norm_state(t):
         n2 = jnp.dot(
             jnp.square(t).astype(cd), h1_cd, preferred_element_type=jnp.float32
-        )                                            # [R, nh] = r²
-        r = jnp.sqrt(n2)
-        inv = (r + 1e-12).astype(cd) ** -1           # [R, nh]
+        )                                            # [RE, nh] = r²
+        r_ = jnp.sqrt(n2)
+        inv = (r_ + 1e-12).astype(cd) ** -1          # [RE, nh]
         invA = jnp.dot(inv, h1t_cd, preferred_element_type=jnp.float32)
         tn = (t * invA).astype(cd)
-        return tn, r, inv
+        return tn, r_, inv
 
     qn, q_r, q_inv = _norm_state(q)
     kn, k_r, k_inv = _norm_state(k)
 
-    qn3 = _rs(qn, (wh, ww, A), ww)
-    kn3 = _rs(kn, (wh, ww, A), ww)
-    v3 = _rs(v, (wh, ww, A), ww)
+    qn3 = _rs(qn, (S + 2, ww, A), ww)
+    kn3 = _rs(kn, (S + 2, ww, A), ww)
+    v3 = _rs(v, (S + 2, ww, A), ww)
 
-    dm = _rs(g_ref[0], (R, D), ww).astype(jnp.float32)
+    dm = _rs(g_ref[0], (RS, D), ww).astype(jnp.float32)
     dbm_ref[:] += jnp.sum(dm, axis=0, keepdims=True)
     dmc = dm.astype(cd)
 
-    dqn_map = jnp.zeros((wh, ww, A), jnp.float32)
-    dkn_map = jnp.zeros((wh, ww, A), jnp.float32)
-    dv_map = jnp.zeros((wh, ww, A), jnp.float32)
+    # local row i of ext == global row r0-1+i; shifts of OWN rows read only
+    # ext rows (same formulas as the striped forward)
+    def _shifts_fwd(t3):
+        ident = t3[1 : S + 1]
+        right_t = jnp.concatenate(
+            [t3[:, 1:, :], t3[:, ww - 2 : ww - 1, :]], axis=1
+        )
+
+        def down_of(m):
+            mid = m[2 : S + 2]
+            last = jnp.concatenate([m[2 : S + 1], m[S - 1 : S]], axis=0)
+            return jnp.where(is_last, last, mid)
+
+        return [ident, right_t[1 : S + 1], down_of(t3), down_of(right_t)]
+
+    def _shifts_bwd(t3):
+        ident = t3[1 : S + 1]
+        left_t = jnp.concatenate(
+            [t3[:, 1:2, :], t3[:, : ww - 1, :]], axis=1
+        )
+
+        def up_of(m):
+            mid = m[0:S]
+            first = jnp.concatenate([m[2:3], m[1:S]], axis=0)
+            return jnp.where(is_first, first, mid)
+
+        return [up_of(left_t), up_of(t3), left_t[1 : S + 1], ident]
+
+    # transposes of the striped shifts: own-row cotangents [S, ww, A] →
+    # ext-frame contributions [S+2, ww, A].  The column transposes
+    # (_right_T/_left_T) are row-local; the vertical transposes write one
+    # halo row, with the seq_refl boundary variants folding in-stripe.
+    z1 = jnp.zeros((1, ww, A), jnp.float32)
+
+    def _unshift_fwd(gm):
+        g0, g1, g2, g3 = gm
+        g1 = _right_T(g1, S, ww)
+        g3 = _right_T(g3, S, ww)
+        mid = g0 + g1                               # ident(+right): rows 1..S
+        down = g2 + g3
+        dext = jnp.concatenate([z1, mid, z1], axis=0)
+        # interior: down reads ext[s+2] → dext[s+2] += down[s] (rows 2..S+1,
+        # the last one being the bottom halo)
+        interior = jnp.concatenate([z1, z1, down], axis=0)
+        # last stripe: global row wh-1 reflects to wh-2 == ext[S-1]
+        last = jnp.concatenate([z1, z1, down[: S - 1], z1], axis=0)
+        last = last + jnp.concatenate(
+            [jnp.zeros((S - 1, ww, A), jnp.float32), down[S - 1 : S],
+             jnp.zeros((2, ww, A), jnp.float32)], axis=0,
+        )
+        return dext + jnp.where(is_last, last, interior)
+
+    def _unshift_bwd(gm):
+        g0, g1, g2, g3 = gm
+        g0 = _left_T(g0, S, ww)
+        g2 = _left_T(g2, S, ww)
+        mid = g3 + g2                               # ident(+left): rows 1..S
+        up = g0 + g1
+        dext = jnp.concatenate([z1, mid, z1], axis=0)
+        # interior: up reads ext[s] → dext[s] += up[s] (rows 0..S-1, the
+        # first one being the top halo)
+        interior = jnp.concatenate([up, z1, z1], axis=0)
+        # first stripe: global row -1 reflects to row 1 == ext[2]
+        first = jnp.concatenate(
+            [z1, up[1:S], z1, z1], axis=0
+        ) + jnp.concatenate(
+            [jnp.zeros((2, ww, A), jnp.float32), up[0:1],
+             jnp.zeros((S - 1, ww, A), jnp.float32)], axis=0,
+        )
+        return dext + jnp.where(is_first, first, interior)
+
+    dqn_ext = jnp.zeros((S + 2, ww, A), jnp.float32)
+    dkn_ext = jnp.zeros((S + 2, ww, A), jnp.float32)
+    dv_ext = jnp.zeros((S + 2, ww, A), jnp.float32)
 
     for direction in ("fwd", "bwd"):
-        shift_fn = _shift_tokens_fwd if direction == "fwd" else _shift_tokens_bwd
-        unshift = _unshift_add_fwd if direction == "fwd" else _unshift_add_bwd
+        shift_fn = _shifts_fwd if direction == "fwd" else _shifts_bwd
+        unshift = _unshift_fwd if direction == "fwd" else _unshift_bwd
         wm_ref, wmT_ref, dwm_ref = (
             (wmf_ref, wmfT_ref, dwmf_ref) if direction == "fwd"
             else (wmb_ref, wmbT_ref, dwmb_ref)
         )
 
-        qs = [_rs(t, (R, A), ww) for t in shift_fn(qn3, wh, ww)]
-        ks = [_rs(t, (R, A), ww) for t in shift_fn(kn3, wh, ww)]
-        vs = [_rs(t, (R, A), ww) for t in shift_fn(v3, wh, ww)]
+        qs = [_rs(t, (RS, A), ww) for t in shift_fn(qn3)]
+        ks = [_rs(t, (RS, A), ww) for t in shift_fn(kn3)]
+        vs = [_rs(t, (RS, A), ww) for t in shift_fn(v3)]
 
         # ---- forward through this direction (keep softmax weights) -------
-        acc = jnp.zeros((R, A), jnp.float32)
+        acc = jnp.zeros((RS, A), jnp.float32)
         a_all = []
         cos_all = []
         for p in range(4):
@@ -631,7 +692,7 @@ def _ngram_bwd_kernel(
             e = [jnp.exp(si - m) for si in s]
             z = e[0] + e[1] + e[2] + e[3]
             inv_z = 1.0 / z
-            a_p = [ei * inv_z for ei in e]           # [R, nh] f32
+            a_p = [ei * inv_z for ei in e]           # [RS, nh] f32
             a_all.append(a_p)
             cos_all.append(cos_p)
             for qi in range(4):
@@ -645,7 +706,7 @@ def _ngram_bwd_kernel(
         ctx = (
             jnp.dot(mean, wproj_ref[:], preferred_element_type=jnp.float32)
             + bproj_ref[:]
-        ).astype(cd)                                 # [R, C]
+        ).astype(cd)                                 # [RS, C]
 
         # ---- backward through merge + proj -------------------------------
         dwm_ref[:] += jax.lax.dot_general(           # ctxᵀ @ dm
@@ -662,13 +723,13 @@ def _ngram_bwd_kernel(
         dacc = (
             jnp.dot(dctxc, wprojT_ref[:], preferred_element_type=jnp.float32)
             * 0.25
-        )                                            # [R, A] f32
+        )                                            # [RS, A] f32
         daccc = dacc.astype(cd)
 
         # ---- backward through attention ----------------------------------
-        dqn_sh = [jnp.zeros((R, A), jnp.float32) for _ in range(4)]
-        dkn_sh = [jnp.zeros((R, A), jnp.float32) for _ in range(4)]
-        dv_sh = [jnp.zeros((R, A), jnp.float32) for _ in range(4)]
+        dqn_sh = [jnp.zeros((RS, A), jnp.float32) for _ in range(4)]
+        dkn_sh = [jnp.zeros((RS, A), jnp.float32) for _ in range(4)]
+        dv_sh = [jnp.zeros((RS, A), jnp.float32) for _ in range(4)]
         for p in range(4):
             a_p = a_all[p]
             da_p = []
@@ -688,7 +749,7 @@ def _ngram_bwd_kernel(
                 + a_p[2] * da_p[2] + a_p[3] * da_p[3]
             )
             for qi in range(4):
-                ds = a_p[qi] * (da_p[qi] - inner)    # [R, nh] f32
+                ds = a_p[qi] * (da_p[qi] - inner)    # [RS, nh] f32
                 dbias_ref[4 * p + qi : 4 * p + qi + 1, :] += jnp.sum(
                     ds, axis=0, keepdims=True
                 )
@@ -698,27 +759,27 @@ def _ngram_bwd_kernel(
                 dprodA = jnp.dot(
                     (ds * scale).astype(cd), h1t_cd,
                     preferred_element_type=jnp.float32,
-                )                                    # [R, A]
+                )                                    # [RS, A]
                 dqn_sh[p] = dqn_sh[p] + dprodA * ks[qi].astype(jnp.float32)
                 dkn_sh[qi] = dkn_sh[qi] + dprodA * qs[p].astype(jnp.float32)
 
-        dqn_map = dqn_map + _unshift_add_fwd_or(unshift, dqn_sh, wh, ww, A)
-        dkn_map = dkn_map + _unshift_add_fwd_or(unshift, dkn_sh, wh, ww, A)
-        dv_map = dv_map + _unshift_add_fwd_or(unshift, dv_sh, wh, ww, A)
+        dqn_ext = dqn_ext + unshift([t.reshape(S, ww, A) for t in dqn_sh])
+        dkn_ext = dkn_ext + unshift([t.reshape(S, ww, A) for t in dkn_sh])
+        dv_ext = dv_ext + unshift([t.reshape(S, ww, A) for t in dv_sh])
 
-    # ---- backward through the L2 norms -----------------------------------
-    dqn_flat = dqn_map.reshape(R, A)
-    dkn_flat = dkn_map.reshape(R, A)
-    dv_flat = dv_map.reshape(R, A)
+    # ---- backward through the L2 norms (over the ext rows) ----------------
+    dqn_flat = dqn_ext.reshape(RE, A)
+    dkn_flat = dkn_ext.reshape(RE, A)
+    dv_flat = dv_ext.reshape(RE, A)
 
-    def _norm_bwd(dn, t, r, inv):
+    def _norm_bwd(dn, t, r_, inv):
         # n = t * s, s = 1/(r + eps), r = sqrt(Σ_head t²):
         # dt = s·dn − t · (⟨dn, t⟩_head · s² / r)
         inv32 = inv.astype(jnp.float32)
         g_h = jnp.dot(
             (dn * t).astype(cd), h1_cd, preferred_element_type=jnp.float32
-        )                                            # [R, nh]
-        factor = g_h * inv32 * inv32 / r
+        )                                            # [RE, nh]
+        factor = g_h * inv32 * inv32 / r_
         invA = jnp.dot(
             inv.astype(cd), h1t_cd, preferred_element_type=jnp.float32
         )
@@ -727,12 +788,12 @@ def _ngram_bwd_kernel(
         )
         return dn * invA - t * factorA
 
-    dq = _norm_bwd(dqn_flat, q, q_r, q_inv)          # [R, A] f32
+    dq = _norm_bwd(dqn_flat, q, q_r, q_inv)          # [RE, A] f32
     dk = _norm_bwd(dkn_flat, k, k_r, k_inv)
     dv2 = dv_flat
 
     # ---- backward through the qkv projections ----------------------------
-    du = jnp.zeros((R, C), jnp.float32)
+    du = jnp.zeros((RE, C), jnp.float32)
     for dgrad, wT_ref, dw_ref, db_ref in (
         (dq, wqT_ref, dwq_ref, dbq_ref),
         (dk, wkT_ref, dwk_ref, dbk_ref),
@@ -746,13 +807,7 @@ def _ngram_bwd_kernel(
         )
         du = du + jnp.dot(dc, wT_ref[:], preferred_element_type=jnp.float32)
 
-    du_ref[0] = du.reshape(wh, ww, C).astype(du_ref.dtype)  # reshape in f32
-
-
-def _unshift_add_fwd_or(unshift, grads_flat, wh, ww, A):
-    """grads_flat: four [R, A] shifted-coordinate cotangents -> one
-    [wh, ww, A] map-coordinate accumulation via the direction's transpose."""
-    return unshift([t.reshape(wh, ww, A) for t in grads_flat], wh, ww)
+    du_ref[0, 0] = du.reshape(S + 2, ww, C)          # f32 stripe contribution
 
 
 def _ngram_stripe_kernel(
