@@ -135,3 +135,28 @@ def test_tiled_eval_jit_matches_host_path(rng):
                       tile=64, stride=32)
     dev = make_tiled_eval_jit(gen, params, tile=64, stride=32)(ct)
     np.testing.assert_allclose(dev, host, atol=2e-5, rtol=1e-4)
+
+
+def test_tiled_eval_jit_unaligned_geometry(rng):
+    """A geometry with a tail tile ((H − tile) % stride != 0) takes the
+    general scatter-add path; it must still equal the host assembly.
+    The aligned phase-grouped fast path is covered by the 96² test above."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmar.eval.inference import make_tiled_eval_jit, tiled_eval
+    from tmar.nn import NGswin
+
+    gen = NGswin(ngrams=(2, 2, 2, 2), embed_dim=32, depths=(1, 1, 1),
+                 num_heads=(2, 2, 2), dec_dim=32, dec_depths=1,
+                 dec_num_heads=2, window_size=8)
+    ct = rng.uniform(-1, 1, (1, 100, 84, 1)).astype(np.float32)
+    params = jax.jit(gen.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1))
+    )["params"]
+    fwd = jax.jit(lambda t: gen.apply({"params": params}, t))
+
+    host = tiled_eval(lambda t: np.asarray(fwd(jnp.asarray(t))), ct,
+                      tile=64, stride=32)
+    dev = make_tiled_eval_jit(gen, params, tile=64, stride=32)(ct)
+    np.testing.assert_allclose(dev, host, atol=2e-5, rtol=1e-4)

@@ -442,10 +442,14 @@ def _load_generator_params(path: str, gen, cfg):
     import optax
 
     def _template(ema_decay: float):
+        # the template only provides SHAPES (params are input-size-agnostic);
+        # init at >=128 so the 3-scale PatchGAN template is constructible
+        # even when the TEST config uses a smaller eval patch size
         return create_train_state(
             jax.random.PRNGKey(0), gen, build_discriminator(cfg),
             optax.adam(1e-4), optax.adam(1e-4),
-            cfg.data.patch_size, cfg.model.in_chans, ema_decay=ema_decay,
+            max(cfg.data.patch_size, 128), cfg.model.in_chans,
+            ema_decay=ema_decay,
         )
 
     def _restore(state):

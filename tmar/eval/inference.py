@@ -122,11 +122,34 @@ def make_tiled_eval_jit(
     )
 
 
+def _phase_groups(size: int, tile: int, stride: int):
+    """Phase-grouped tile positions: group g holds positions ≡ g·stride
+    (mod tile), which are non-overlapping and tile a contiguous span.
+    Only valid when tile % stride == 0 and (size − tile) % stride == 0
+    (every position stride-aligned, no tail tile)."""
+    k = tile // stride
+    groups = []
+    for g in range(k):
+        off = g * stride
+        count = (size - tile - off) // tile + 1
+        groups.append((off, count))
+    return groups
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _tiled_run(generator, tile, stride, constraint, params, ct):
     """Jitted body of make_tiled_eval_jit (module-level so the jit cache is
     shared across closure constructions; the flax module, tile geometry and
-    sharding constraint are static/hashable)."""
+    sharding constraint are static/hashable).
+
+    Extraction/assembly strategy: when the geometry allows (tile a multiple
+    of stride, positions aligned — true for the canonical 416²/64/32), the
+    overlapping tile grid decomposes into (tile/stride)² PHASE GROUPS of
+    non-overlapping tiles.  Each group extracts as one slice + reshape +
+    transpose and assembles as one reverse-transpose + pad — k²·2 fused
+    layout ops instead of the n_tiles slice/stack + n_tiles scatter-adds of
+    the general path (144 sequential 64×64 dynamic-update-slices at
+    416²/64/32, the r2 tiled-eval bottleneck — VERDICT r2 #7)."""
     B, H, W, C = ct.shape
     rows = _tile_positions(H, tile, stride)
     cols = _tile_positions(W, tile, stride)
@@ -135,6 +158,44 @@ def _tiled_run(generator, tile, stride, constraint, params, ct):
     for r, c in coords:
         weight[0, r : r + tile, c : c + tile, :] += 1.0
     inv_w = jnp.asarray(1.0 / weight)
+
+    aligned = (
+        tile % stride == 0
+        and (H - tile) % stride == 0
+        and (W - tile) % stride == 0
+        and H > tile and W > tile
+    )
+    if aligned:
+        rgroups = _phase_groups(H, tile, stride)
+        cgroups = _phase_groups(W, tile, stride)
+        flats, geom = [], []
+        for ro, rn in rgroups:
+            for co, cn in cgroups:
+                x = ct[:, ro : ro + rn * tile, co : co + cn * tile, :]
+                x = x.reshape(B, rn, tile, cn, tile, C)
+                x = x.transpose(0, 1, 3, 2, 4, 5)    # [B, rn, cn, t, t, C]
+                flats.append(x.reshape(B * rn * cn, tile, tile, C))
+                geom.append((ro, rn, co, cn))
+        flat = jnp.concatenate(flats, axis=0)
+        if constraint is not None:
+            flat = jax.lax.with_sharding_constraint(flat, constraint)
+        res = generator.apply({"params": params}, flat).astype(jnp.float32)
+        out = jnp.zeros((B, H, W, C), jnp.float32)
+        k = 0
+        for ro, rn, co, cn in geom:
+            n = B * rn * cn
+            canvas = (
+                res[k : k + n]
+                .reshape(B, rn, cn, tile, tile, C)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(B, rn * tile, cn * tile, C)
+            )
+            k += n
+            out = out + jnp.pad(
+                canvas,
+                ((0, 0), (ro, H - ro - rn * tile), (co, W - co - cn * tile), (0, 0)),
+            )
+        return out * inv_w
 
     tiles = jnp.stack(
         [ct[:, r : r + tile, c : c + tile, :] for (r, c) in coords], axis=1
