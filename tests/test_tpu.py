@@ -337,6 +337,50 @@ def test_fused_ngram_backward_on_chip(rng):
     ])
 
 
+def test_striped_ngram_backward_on_chip(rng):
+    """The STRIPED recompute backward (multi-stripe grid + host halo folds)
+    on real hardware, at a geometry the r2 whole-map kernel was gated away
+    from serving: grads must land in the same precision class as the math
+    path.  stripe_rows=2 over an 8-row grid exercises first/middle/last
+    stripe transposes and both halo directions."""
+    from tmar.ops.attention import gather_rel_pos_bias, relative_position_index
+    from tmar.ops.pallas_ngram import fused_ngram_context
+
+    dim, heads, wh, ww = 64, 6, 8, 8
+    half = dim // 2
+    A = (half // heads) * heads
+    u = jnp.asarray(rng.standard_normal((2, wh, ww, half)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((half, 3 * A)).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.standard_normal((3 * A,)).astype(np.float32) * 0.1)
+    ls = jnp.asarray(rng.standard_normal((heads, 1, 1)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((9, heads)).astype(np.float32) * 0.02)
+    bias = gather_rel_pos_bias(table, relative_position_index(2, 2), heads)
+    wproj = jnp.asarray(rng.standard_normal((A, half)).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.standard_normal((half,)).astype(np.float32) * 0.1)
+    wmerge = jnp.asarray(rng.standard_normal((dim, dim)).astype(np.float32) * 0.2)
+    bmerge = jnp.asarray(rng.standard_normal((dim,)).astype(np.float32) * 0.1)
+    args = (u, wqkv, bqkv, ls, bias, wproj, bproj, wmerge, bmerge)
+
+    def loss(mode, S, *a):
+        out = fused_ngram_context(*a, 6, backward=mode, stripe_rows=S)
+        return jnp.sum(out * jnp.cos(out))
+
+    gp = jax.jit(jax.grad(
+        lambda *a: loss("pallas", 2, *a), argnums=tuple(range(9))
+    ))(*args)
+    gm = jax.jit(jax.grad(
+        lambda *a: loss(None, None, *a), argnums=tuple(range(9))
+    ))(*args)
+    with jax.default_matmul_precision("highest"):
+        gt = jax.jit(jax.grad(
+            lambda *a: loss(None, None, *a), argnums=tuple(range(9))
+        ))(*args)
+    _assert_same_precision_class(gp, gm, gt, names=[
+        "u", "wqkv", "bqkv", "logit_scale", "bias", "wproj", "bproj",
+        "wmerge", "bmerge",
+    ])
+
+
 def test_promoted_train_recipe_smoke_on_chip(rng):
     """Ten steps of the EXACT promoted training recipe (pallas fwd+bwd
     attention, ngram megakernel hardware default, batched real/fake D
