@@ -149,6 +149,16 @@ def test_subprocess_adapter_round_trip(tmp_path, sample):
     np.testing.assert_allclose(out, np.clip(e["Xma"] * 0.9, 0, 1), atol=1e-6)
 
 
+def test_li_baseline_adapter_tool(sample):
+    """tools/adapter_li.py (the committed LI-baseline comparison entry)
+    speaks the SubprocessAdapter protocol and returns the sample's XLI."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ad = SubprocessAdapter([sys.executable, os.path.join(repo, "tools", "adapter_li.py")])
+    e = enrich_sample(sample)
+    out = ad(e)
+    np.testing.assert_allclose(out, np.clip(e["XLI"], 0, 1), atol=1e-6)
+
+
 def test_subprocess_adapter_failure_raises(tmp_path, sample):
     script = tmp_path / "bad.py"
     script.write_text("import sys; sys.exit(3)")

@@ -184,7 +184,25 @@ def test_dudo_runner_through_harness_row(tiny_net, radon):
     d = _inputs(radon, b=1)
     vars_ = tiny_net.init(jax.random.PRNGKey(0), d["xma"], d["xli"], d["m"],
                           d["sma"], d["sli"], d["tr"])
-    run = make_dudo_runner(tiny_net, vars_["params"])
+    run = make_dudo_runner(tiny_net, vars_["params"], li_mode="sample")
     out = run(sample)
     assert out.shape == (SIZE, SIZE)
     assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
+
+    # li_mode='train' (the CLI default) rebuilds XLI/SLI with the finetune
+    # engine's mean-fill construction — the entry's per-model preprocessing
+    run_tr = make_dudo_runner(tiny_net, vars_["params"], radon=radon,
+                              li_mode="train")
+    out_tr = run_tr(sample)
+    assert out_tr.shape == (SIZE, SIZE)
+    assert np.isfinite(out_tr).all() and 0 <= out_tr.min() and out_tr.max() <= 1
+    # the rebuilt XLI really differs from the sample's (metal mean-filled)
+    from tmar.data.finetune import create_li_image
+
+    li_train = create_li_image(sample["Xma"], (sample["Mask"] > 0.5).astype(np.float32))
+    assert np.abs(li_train - sample["XLI"]).max() > 1e-4
+
+    with np.testing.assert_raises(ValueError):
+        make_dudo_runner(tiny_net, vars_["params"], li_mode="train")  # no radon
+    with np.testing.assert_raises(ValueError):
+        make_dudo_runner(tiny_net, vars_["params"], li_mode="bogus")

@@ -37,6 +37,30 @@ def _honor_env_platforms() -> None:
             jax.config.update("jax_platforms", p)
         except Exception:
             pass
+    _enable_persistent_cache()
+
+
+def _enable_persistent_cache() -> None:
+    """Point jax at the repo-local persistent compilation cache.
+
+    Remote-TPU compiles through the tunnel take minutes; bench.py and the
+    tools/ scripts already share ``.jax_cache/`` — without this the CLIs
+    recompiled the full 416² model on every invocation (~20 min of the
+    first tmar-compare run was tunnel compiles).
+    """
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "TMAR_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def _parse_sets(pairs) -> Dict[str, Any]:
@@ -249,6 +273,11 @@ def compare(argv=None) -> int:
                          "implies --sinograms")
     ap.add_argument("--dudo-stages", type=int, default=4)
     ap.add_argument("--dudo-channels", type=int, default=32)
+    ap.add_argument("--dudo-li", default="train", choices=["train", "sample"],
+                    help="dudo entry preprocessing: 'train' rebuilds XLI/SLI "
+                         "with the finetune engine's mean-fill construction "
+                         "(evaluate on the training-time input distribution); "
+                         "'sample' trusts the dataset's LI images")
     ap.add_argument("--sinograms", action="store_true",
                     help="synthesize Sma/SLI/Tr sinograms for dual-domain adapters")
     ap.add_argument("--composites", type=int, default=3,
@@ -308,7 +337,9 @@ def compare(argv=None) -> int:
         net = DuDoMARNet(
             projector=radon, stages=args.dudo_stages, channels=args.dudo_channels
         )
-        entries.append(ModelEntry(name, runner=make_dudo_runner(net, dudo_params)))
+        entries.append(ModelEntry(name, runner=make_dudo_runner(
+            net, dudo_params, radon=radon, li_mode=args.dudo_li,
+        )))
     if not entries:
         raise SystemExit("no entries: pass --checkpoints / --adapter / --dudo")
     results = run_comparison(

@@ -18,6 +18,18 @@ from typing import Dict
 import numpy as np
 
 
+def _gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur with reflect padding (no scipy)."""
+    r = max(1, int(3.0 * sigma))
+    k = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2).astype(np.float32)
+    k /= k.sum()
+    p = np.pad(img, ((r, r), (0, 0)), mode="reflect")
+    img = sum(k[i] * p[i : i + img.shape[0]] for i in range(2 * r + 1))
+    p = np.pad(img, ((0, 0), (r, r)), mode="reflect")
+    img = sum(k[i] * p[:, i : i + img.shape[1]] for i in range(2 * r + 1))
+    return img.astype(np.float32)
+
+
 class SyntheticMARDataset:
     def __init__(
         self,
@@ -76,7 +88,26 @@ class SyntheticMARDataset:
                     streaks += amp * np.exp(-(d / w) ** 2)
             ma01 = np.clip(gt01 + streaks, 0, 1)
             ma01 = np.where(metal > 0, 1.0, ma01)          # saturated metal
-            li01 = np.where(metal > 0, gt01, gt01)          # LI proxy: interpolated
+            # LI proxy: sinogram linear interpolation removes the metal and
+            # most streaks but blurs tissue near the metal trace and leaves
+            # faint low-frequency shading (reference feeds real LI images,
+            # evaluation/benchmark_comparison_syndeeplesion.py:676-781).
+            smooth = _gaussian_blur(gt01, sigma=max(2.0, s / 24.0))
+            w = np.clip(_gaussian_blur(metal, sigma=max(2.0, s / 12.0)) * 4.0, 0.0, 1.0)
+            # interpolated-trace shading: wide soft bands spanning the whole
+            # slice through each metal center (every projection angle crosses
+            # the trace, so LI residue is not confined to the metal's
+            # neighbourhood)
+            shade = np.zeros((s, s), np.float32)
+            for cx, cy in centers:
+                for _ in range(rng.integers(2, 4)):
+                    th = rng.uniform(0, np.pi)
+                    d = (x - cx) * np.sin(th) - (y - cy) * np.cos(th)
+                    wdt = rng.uniform(0.03, 0.07)
+                    shade += rng.uniform(0.02, 0.06) * rng.choice([-1.0, 1.0]) * np.exp(
+                        -(d / wdt) ** 2
+                    )
+            li01 = np.clip((1.0 - w) * gt01 + w * smooth + shade, 0, 1)
 
         to_pm1 = lambda a: (np.clip(a, 0, 1) * 2 - 1).astype(np.float32)
         return {"ct": to_pm1(ma01), "gt": to_pm1(gt01), "li": to_pm1(li01)}

@@ -170,16 +170,30 @@ def make_nmar_runner(core: Callable[..., np.ndarray]):
     return run
 
 
-def make_dudo_runner(model, params):
+def make_dudo_runner(model, params, radon=None, li_mode: str = "train"):
     """In-tree dual-domain net protocol (:class:`tmar.nn.dudo.DuDoMARNet`):
     [0,1]-scale images, raw-scale sinograms, NON-metal trace — the same
     conventions as tmar.train.finetune's dual-domain loop, so a fine-tuned
     in-tree net drops straight into the comparison harness without the
     external-benchmark ×255/÷0.5 renormalisation dance.
 
+    ``li_mode`` is this entry's per-model preprocessing (the reference gives
+    each benchmark model its own adapter for exactly this,
+    benchmark_comparison_syndeeplesion.py:60-108): ``"train"`` rebuilds
+    XLI/SLI with the same mean-fill construction the tmar-finetune engine
+    trained on (tmar.data.finetune.create_li_image; needs ``radon`` for
+    SLI), so a fine-tuned net is evaluated on its training-time input
+    distribution; ``"sample"`` trusts the enriched sample's XLI/SLI (for
+    nets trained on real LI images).
+
     Requires an enriched sample with sinograms.
     """
     import jax
+
+    if li_mode not in ("train", "sample"):
+        raise ValueError(f"li_mode must be 'train' or 'sample', got {li_mode!r}")
+    if li_mode == "train" and radon is None:
+        raise ValueError("li_mode='train' rebuilds SLI and needs a radon operator")
 
     fwd = jax.jit(
         lambda p, xma, xli, m, sma, sli, tr: model.apply(
@@ -191,6 +205,18 @@ def make_dudo_runner(model, params):
         if sample.get("Sma") is None:
             raise ValueError("dudo runner needs sinograms; enrich with a Radon operator")
         xma = np.clip(sample["Xma"].astype(np.float32), 0, 1)[None, ..., None]
+        if li_mode == "train":
+            from tmar.data.finetune import create_li_image
+
+            li01 = create_li_image(
+                np.clip(sample["Xma"].astype(np.float32), 0, 1),
+                (sample["Mask"] > 0.5).astype(np.float32),
+            )
+            sample = dict(
+                sample,
+                XLI=li01,
+                SLI=np.asarray(jax.device_get(radon.forward(li01[None])))[0],
+            )
         xli = np.clip(sample["XLI"].astype(np.float32), 0, 1)[None, ..., None]
         m = (1.0 - (sample["Mask"] > 0.5).astype(np.float32))[None, ..., None]
         sma = sample["Sma"].astype(np.float32)[None]

@@ -22,9 +22,10 @@ from tmar.train import create_train_state, make_train_step
 mode = sys.argv[1] if len(sys.argv) > 1 else "flat"      # flat | leaf
 pairs = len(sys.argv) > 2 and sys.argv[2] == "pairs"     # fused D passes
 iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-# sweep knobs (env): batch size, radon einsum precision, attention backward
+# sweep knobs (env): batch size, patch size, radon einsum precision,
+# attention backward
 B = int(_os.environ.get("TMAR_AB_BATCH", "8"))
-PATCH = 128
+PATCH = int(_os.environ.get("TMAR_AB_PATCH", "128"))
 RADON_PREC = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
@@ -58,7 +59,8 @@ for _ in range(iters):
 np.asarray(m["loss_g"])
 dt = (time.perf_counter() - t0) / iters
 print(
-    f"{mode} pairs={pairs} b={B} radon={_os.environ.get('TMAR_AB_RADON', 'highest')}"
+    f"{mode} pairs={pairs} b={B} patch={PATCH}"
+    f" radon={_os.environ.get('TMAR_AB_RADON', 'highest')}"
     f" bwd={ATTN_BWD} ngram={_os.environ.get('TMAR_NGRAM_FUSED', '(default)')}:"
     f" {dt*1000:.1f} ms/step  {1/dt:.2f} steps/s  {B/dt:.1f} samples/s"
 )
