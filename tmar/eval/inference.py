@@ -165,6 +165,45 @@ def _tiled_run(generator, tile, stride, constraint, params, ct):
         and (W - tile) % stride == 0
         and H > tile and W > tile
     )
+    if aligned and C == 1:
+        # Squeeze the trailing C=1 for every layout op: with it, each
+        # transpose/pad/concat tiles as [.., tile, 1] minors (1/128 TPU
+        # lane utilisation); without it the minor dim is tile=64 (64/128).
+        # Measured on-chip at 416²/64/32 b8: extraction+assembly 185 →
+        # ~60 ms/batch (see PERF.md tiled-eval section).
+        img = ct[..., 0]                                  # [B, H, W]
+        rgroups = _phase_groups(H, tile, stride)
+        cgroups = _phase_groups(W, tile, stride)
+        flats, geom = [], []
+        for ro, rn in rgroups:
+            for co, cn in cgroups:
+                x = img[:, ro : ro + rn * tile, co : co + cn * tile]
+                x = x.reshape(B, rn, tile, cn, tile)
+                x = x.transpose(0, 1, 3, 2, 4)            # [B, rn, cn, t, t]
+                flats.append(x.reshape(B * rn * cn, tile, tile))
+                geom.append((ro, rn, co, cn))
+        flat = jnp.concatenate(flats, axis=0)[..., None]  # [N, t, t, 1]
+        if constraint is not None:
+            flat = jax.lax.with_sharding_constraint(flat, constraint)
+        res = generator.apply({"params": params}, flat)
+        res = res[..., 0].astype(jnp.float32)             # [N, t, t]
+        out = jnp.zeros((B, H, W), jnp.float32)
+        k = 0
+        for ro, rn, co, cn in geom:
+            n = B * rn * cn
+            canvas = (
+                res[k : k + n]
+                .reshape(B, rn, cn, tile, tile)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B, rn * tile, cn * tile)
+            )
+            k += n
+            out = out + jnp.pad(
+                canvas,
+                ((0, 0), (ro, H - ro - rn * tile), (co, W - co - cn * tile)),
+            )
+        return (out * inv_w[..., 0])[..., None]
+
     if aligned:
         rgroups = _phase_groups(H, tile, stride)
         cgroups = _phase_groups(W, tile, stride)

@@ -1,4 +1,6 @@
 """512² b8 inference wall-clock A/B (slices/s); kernel variants via env."""
+import os as _os0, sys as _sys0
+_sys0.path.insert(0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))))
 import os, sys, time
 import numpy as np
 import jax

@@ -1,5 +1,7 @@
 """A/B: train step with per-leaf vs flattened (fused) optimizer updates.
 Usage: python tools/ab_train.py [flat|leaf] [pairs|nopairs] [iters]"""
+import os as _os0, sys as _sys0
+_sys0.path.insert(0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))))
 import sys
 import time
 

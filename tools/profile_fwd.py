@@ -1,4 +1,6 @@
 """Device profile of the current 512² b8 inference forward."""
+import os as _os0, sys as _sys0
+_sys0.path.insert(0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))))
 import numpy as np, jax
 import os as _os
 jax.config.update("jax_compilation_cache_dir", _os.path.join(

@@ -3,6 +3,8 @@ train-step breakdown; reference hot loop: train_combined.py:388-560).
 
 Usage: python tools/profile_train.py [iters] — env knobs match ab_train.py.
 """
+import os as _os0, sys as _sys0
+_sys0.path.insert(0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -12,6 +12,8 @@ v5e peaks: 394 TFLOP/s bf16 MXU, 819 GB/s HBM (public chip specs).
 
 Usage: python tools/roofline_train.py [iters]   (env knobs as ab_train.py)
 """
+import os as _os0, sys as _sys0
+_sys0.path.insert(0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))))
 import sys
 import time
 
