@@ -169,8 +169,8 @@ def _tiled_run(generator, tile, stride, constraint, params, ct):
         # Squeeze the trailing C=1 for every layout op: with it, each
         # transpose/pad/concat tiles as [.., tile, 1] minors (1/128 TPU
         # lane utilisation); without it the minor dim is tile=64 (64/128).
-        # Measured on-chip at 416²/64/32 b8: extraction+assembly 185 →
-        # ~60 ms/batch (see PERF.md tiled-eval section).
+        # Measured on-chip A/B vs the C-carrying aligned path below:
+        # see PERF.md "Tiled eval (416²/64/32)" section.
         img = ct[..., 0]                                  # [B, H, W]
         rgroups = _phase_groups(H, tile, stride)
         cgroups = _phase_groups(W, tile, stride)

@@ -1,14 +1,8 @@
 """512² b8 inference wall-clock A/B (slices/s); kernel variants via env."""
-import os as _os0, sys as _sys0
-_sys0.path.insert(0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))))
+import _path  # noqa: F401  (repo root on sys.path + jax compile cache)
 import os, sys, time
 import numpy as np
 import jax
-import os as _os
-jax.config.update("jax_compilation_cache_dir", _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 from tmar.nn import NGswin
 model = NGswin(dtype=jnp.bfloat16, use_pallas_attention=True)

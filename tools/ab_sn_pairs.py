@@ -15,11 +15,11 @@ Usage:  python tools/ab_sn_pairs.py [steps] [out_dir]
 Writes <out_dir>/sn_ab.json and prints a one-line summary per variant.
 """
 
+import _path  # noqa: F401  (repo root on sys.path + jax compile cache)
+
 import json
 import os
 import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -1,18 +1,13 @@
 """A/B: train step with per-leaf vs flattened (fused) optimizer updates.
 Usage: python tools/ab_train.py [flat|leaf] [pairs|nopairs] [iters]"""
-import os as _os0, sys as _sys0
-_sys0.path.insert(0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))))
+import _path  # noqa: F401  (repo root on sys.path + jax compile cache)
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 
-import os as _os
-jax.config.update("jax_compilation_cache_dir", _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import optax
 
@@ -26,14 +21,14 @@ pairs = len(sys.argv) > 2 and sys.argv[2] == "pairs"     # fused D passes
 iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 # sweep knobs (env): batch size, patch size, radon einsum precision,
 # attention backward
-B = int(_os.environ.get("TMAR_AB_BATCH", "8"))
-PATCH = int(_os.environ.get("TMAR_AB_PATCH", "128"))
+B = int(os.environ.get("TMAR_AB_BATCH", "8"))
+PATCH = int(os.environ.get("TMAR_AB_PATCH", "128"))
 RADON_PREC = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
-}[_os.environ.get("TMAR_AB_RADON", "highest")]
-ATTN_BWD = _os.environ.get("TMAR_AB_ATTN_BWD", "pallas")
+}[os.environ.get("TMAR_AB_RADON", "highest")]
+ATTN_BWD = os.environ.get("TMAR_AB_ATTN_BWD", "pallas")
 
 gen = NGswin(dtype=jnp.bfloat16, use_pallas_attention=True, attn_backward=ATTN_BWD)
 disc = MultiScaleDiscriminator(dtype=jnp.bfloat16)
@@ -62,7 +57,7 @@ np.asarray(m["loss_g"])
 dt = (time.perf_counter() - t0) / iters
 print(
     f"{mode} pairs={pairs} b={B} patch={PATCH}"
-    f" radon={_os.environ.get('TMAR_AB_RADON', 'highest')}"
-    f" bwd={ATTN_BWD} ngram={_os.environ.get('TMAR_NGRAM_FUSED', '(default)')}:"
+    f" radon={os.environ.get('TMAR_AB_RADON', 'highest')}"
+    f" bwd={ATTN_BWD} ngram={os.environ.get('TMAR_NGRAM_FUSED', '(default)')}:"
     f" {dt*1000:.1f} ms/step  {1/dt:.2f} steps/s  {B/dt:.1f} samples/s"
 )

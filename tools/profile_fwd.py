@@ -1,12 +1,6 @@
 """Device profile of the current 512² b8 inference forward."""
-import os as _os0, sys as _sys0
-_sys0.path.insert(0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))))
+import _path  # noqa: F401  (repo root on sys.path + jax compile cache)
 import numpy as np, jax
-import os as _os
-jax.config.update("jax_compilation_cache_dir", _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 from tmar.nn import NGswin
 from tmar.utils.profiling import device_profile

@@ -5,26 +5,21 @@ find where the extraction/assembly time goes and either reach ≥2× or
 publish the floor argument.  This prints:
 
 * wall-clock slices/s for the one-jit tiled path (make_tiled_eval_jit),
-* the equivalent-pixel ceiling: tiled 416²/64/32 runs 13×13 = 169
-  overlapping 64² tiles per slice = 4.06× the pixels of the full slice,
-  so even at the model's best measured per-pixel rate the ceiling is
-  (pixel rate)/4.06,
+* the equivalent-pixel ceiling: tiled 416²/64/32 runs (416−64)//32+1 = 12
+  positions per axis → 12×12 = 144 overlapping 64² tiles per slice =
+  3.41× the pixels of the full slice, so even at the model's best measured
+  per-pixel rate the ceiling is (pixel rate)/3.41,
 * a device_profile per-op-class table of the tiled dispatch.
 
 Usage: python tools/profile_tiled.py [iters]
 """
-import os as _os0, sys as _sys0
-_sys0.path.insert(0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))))
+import _path  # noqa: F401  (repo root on sys.path + jax compile cache)
 import sys
 import time
 
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", _os0.path.join(
-    _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from tmar.nn import NGswin
@@ -54,7 +49,7 @@ tiled_rate = B / dt
 print(f"tiled 416/64/32: {dt * 1000:.1f} ms/batch  {tiled_rate:.2f} slices/s")
 
 # equivalent-pixel ceiling from the 64² tile batch itself: run the same
-# 1352-tile forward without extraction/assembly
+# B·144-tile forward (1152 tiles at B=8) without extraction/assembly
 n_pos = (416 - 64) // 32 + 1
 tiles = jnp.zeros((B * n_pos * n_pos, 64, 64, 1), jnp.float32)
 fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))

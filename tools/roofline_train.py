@@ -12,19 +12,14 @@ v5e peaks: 394 TFLOP/s bf16 MXU, 819 GB/s HBM (public chip specs).
 
 Usage: python tools/roofline_train.py [iters]   (env knobs as ab_train.py)
 """
-import os as _os0, sys as _sys0
-_sys0.path.insert(0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__))))
+import _path  # noqa: F401  (repo root on sys.path + jax compile cache)
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 
-import os as _os
-jax.config.update("jax_compilation_cache_dir", _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import optax
 
@@ -37,9 +32,9 @@ PEAK_BF16_TFLOPS = 394.0   # v5e MXU peak
 HBM_GBPS = 819.0           # v5e HBM bandwidth
 
 iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-B = int(_os.environ.get("TMAR_AB_BATCH", "8"))
-PATCH = int(_os.environ.get("TMAR_AB_PATCH", "128"))
-ATTN_BWD = _os.environ.get("TMAR_AB_ATTN_BWD", "pallas")
+B = int(os.environ.get("TMAR_AB_BATCH", "8"))
+PATCH = int(os.environ.get("TMAR_AB_PATCH", "128"))
+ATTN_BWD = os.environ.get("TMAR_AB_ATTN_BWD", "pallas")
 
 gen = NGswin(dtype=jnp.bfloat16, use_pallas_attention=True, attn_backward=ATTN_BWD)
 disc = MultiScaleDiscriminator(dtype=jnp.bfloat16)
