@@ -129,3 +129,25 @@ def test_fused_backward_small_windows_blockdiag():
         np.testing.assert_allclose(
             np.asarray(pg), np.asarray(rg), atol=5e-4, rtol=5e-3
         )
+
+
+def test_fused_backward_env_T_override(monkeypatch):
+    """TMAR_ATTN_BWD_T lifts the backward's windows-per-step past the
+    default 512//N (with a conditional vmem grant on hardware); the env
+    plumbing + padding math must leave every cotangent unchanged."""
+    monkeypatch.setenv("TMAR_ATTN_BWD_T", "16")
+    N, D, nh, hd = 64, 64, 6, 10
+    B_ = 20  # not a multiple of T=16 -> exercises the padding path too
+    args = _make_inputs(B_, N, D, nh, hd, seed=4)
+    g = jnp.asarray(np.random.default_rng(5).normal(size=(B_, N, D)).astype(np.float32))
+    _, ref_grads = _grads(
+        lambda *a: window_attention_math(*a, num_heads=nh), args, g
+    )
+    _, pal_grads = _grads(
+        lambda *a: fused_window_attention(
+            *a, num_heads=nh, interpret=True, backward="pallas"
+        ),
+        args, g,
+    )
+    for pg, rg in zip(pal_grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(pg), np.asarray(rg), atol=5e-4, rtol=5e-3)

@@ -59,6 +59,49 @@ def test_rejects_pallas_attention_with_tp(tmp_path):
         )
 
 
+def test_fsdp_accepts_pallas_attention(tmp_path):
+    """FSDP composes with the fused kernels (VERDICT r3 #5): params are
+    ZeRO-sharded at rest and all-gathered at use, so the kernels see full
+    tensors — the Trainer must not reject the combination."""
+    tr = _trainer(
+        tmp_path, "fsdp_pallas",
+        **{"parallel.mode": "fsdp", "model.use_pallas_attention": True},
+    )
+    qkv = tr.state.g_params["encoder_layer1"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    cols = {s.data.shape[1] for s in qkv.addressable_shards}
+    assert cols == {qkv.shape[1] // 8}, cols  # really ZeRO-sharded
+
+
+@pytest.mark.slow
+def test_fsdp_pallas_multistep_equivalence(tmp_path):
+    """3 Trainer steps with parallel.mode=fsdp AND the fused Pallas
+    attention fwd+bwd kernels (interpret mode on CPU) must match the
+    unsharded dp run on the plain XLA path — the combination the r3
+    trainer rejected outright."""
+    tr_dp = _trainer(tmp_path, "eq_dp")
+    tr_dp.fit()
+    tr_f = _trainer(
+        tmp_path, "eq_fsdp_pallas",
+        **{"parallel.mode": "fsdp",
+           "model.use_pallas_attention": True,
+           "model.attn_backward": "pallas"},
+    )
+    tr_f.fit()
+    assert int(tr_f.state.step) == 3
+    delta = max(
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda a, b: float(np.max(np.abs(a - b))),
+                jax.device_get(tr_dp.state.g_params),
+                jax.device_get(tr_f.state.g_params),
+            )
+        )
+    )
+    # two differences vs dp: ZeRO resharding (bit-exact) and the fused
+    # kernels' f32-accumulated pallas math vs XLA's op ordering
+    assert delta < 2e-3, delta
+
+
 def test_rejects_unknown_mode(tmp_path):
     with pytest.raises(ValueError, match="parallel.mode"):
         _trainer(tmp_path, "bad", **{"parallel.mode": "pipeline"})

@@ -145,9 +145,10 @@ def gan_state_shardings(
     smaller) discriminator and scalars stay replicated.  ``fsdp=True``:
     every eligible param/moment leaf of BOTH networks is ZeRO-sharded over
     ``DATA_AXIS`` (all-gather at use, reduce-scatter on gradients — also
-    from the annotations alone).  Use either with the plain XLA attention
-    path (``use_pallas_attention=False``) — the fused Pallas kernels
-    expect unsharded operands.
+    from the annotations alone).  FSDP composes with the fused Pallas
+    kernels (params are full tensors at use); tensor parallelism does not
+    (the kernels pack the full head set), so tp requires the plain XLA
+    attention path (``use_pallas_attention=False``).
     """
     if tensor_parallel and fsdp:
         raise ValueError("choose tensor_parallel OR fsdp (not both)")

@@ -389,14 +389,22 @@ def _fused_backward(
     hd = A // nh
     hd_p = max(_round_up(hd, 8), 8)
     A_p = nh * hd_p
+    import os
+
     if impl is None:
         impl = "batched" if N >= 32 else "blockdiag"
     if windows_per_step is not None:
         T = windows_per_step
     elif impl == "batched":
-        # T=16 at N=64 overflows the 16 MB scoped-vmem limit by ~0.3 MB
-        # (the backward holds ~2x the forward's live set)
-        T = max(1, 512 // N)
+        # T=16 at N=64 overflows the DEFAULT 16 MB scoped-vmem limit by
+        # ~0.3 MB (the backward holds ~2x the forward's live set); values
+        # past 512//N therefore get a conditional compiler vmem grant on
+        # the pallas_call below.  TMAR_ATTN_BWD_T overrides the default.
+        try:
+            env_t = int(os.environ.get("TMAR_ATTN_BWD_T", "0"))
+        except ValueError:
+            env_t = 0
+        T = env_t if env_t > 0 else max(1, 512 // N)
     else:
         # the blockdiag backward holds ~4 live [TN, TN] f32 tensors per head
         T = max(1, 256 // N)
@@ -480,6 +488,15 @@ def _fused_backward(
             jax.ShapeDtypeStruct((A_p, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
+        # the batched backward's live set is ~1 MB/window at N=64: T past
+        # the default 512//N needs more than the 16 MB default scoped vmem
+        # (granted conditionally — the grant alone costs ~2% when unused,
+        # PERF.md stacked-head note)
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+            if impl == "batched" and T * N > 512
+            else None
+        ),
         interpret=interpret,
     )(
         x2,

@@ -135,11 +135,15 @@ class Trainer:
         mode = getattr(par, "mode", "dp") if par else "dp"
         if mode not in ("dp", "tp", "fsdp"):
             raise ValueError(f"unknown parallel.mode {mode!r} (dp | tp | fsdp)")
-        if mode != "dp" and getattr(cfg.model, "use_pallas_attention", False):
+        if mode == "tp" and getattr(cfg.model, "use_pallas_attention", False):
             raise ValueError(
-                "parallel.mode=tp/fsdp requires the plain XLA attention path "
-                "(set model.use_pallas_attention=false) — the fused Pallas "
-                "kernels expect unsharded operands"
+                "parallel.mode=tp requires the plain XLA attention path "
+                "(set model.use_pallas_attention=false) — tensor parallelism "
+                "Megatron-splits the qkv/proj weights across heads, and the "
+                "fused Pallas kernels are written against the full head set "
+                "(packed per-head weight layout, per-head logit scales). "
+                "FSDP composes: params are ZeRO-sharded at rest and "
+                "all-gathered at use, so the kernels see full tensors."
             )
         mp = getattr(par, "model_parallel", 1) if par else 1
         if mode == "tp" and mp < 2:
