@@ -196,6 +196,17 @@ def bench_eval_matrix(extra):
         reps * ct.shape[0] / (time.perf_counter() - t0), 2
     )
 
+    # like-for-like with full_slice_416 (device-resident chained, no per-call
+    # host<->device transfer over the tunnel — the serving closure above pays
+    # ~11 MB of npy traffic per batch; PERF.md "Tiled eval" section)
+    from tmar.eval.inference import _tiled_run
+
+    dev = jnp.asarray(np.asarray(ct))
+    dt = _chained_time(
+        lambda y: _tiled_run(model, 64, 32, None, params, y), dev, 10
+    )
+    extra["tiled_64_32_device_slices_per_s"] = round(ct.shape[0] / dt, 2)
+
     def np_fwd(t):
         return np.asarray(jax.device_get(fwd(params, jnp.asarray(t))))
 
@@ -207,14 +218,24 @@ def bench_eval_matrix(extra):
         reps * ct.shape[0] / (time.perf_counter() - t0), 2
     )
 
-    mesh = create_mesh(1)
+    # the mesh-sharded tiled path is only a meaningful number on >1 device
+    # (on one chip it can only add constraint overhead — VERDICT r3 weak #2);
+    # a 1-device run keeps it as a liveness check, not a headline metric
+    n_dev = len(jax.devices())
+    mesh = create_mesh(n_dev)
     sharded_tiled_eval(model, params, mesh, ct, tile=64, stride=32)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        sharded_tiled_eval(model, params, mesh, ct, tile=64, stride=32)
-    extra["sharded_tiled_slices_per_s"] = round(
-        reps * ct.shape[0] / (time.perf_counter() - t0), 2
-    )
+    if n_dev > 1:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            sharded_tiled_eval(model, params, mesh, ct, tile=64, stride=32)
+        extra["sharded_tiled_slices_per_s"] = round(
+            reps * ct.shape[0] / (time.perf_counter() - t0), 2
+        )
+    else:
+        extra["sharded_tiled_note"] = (
+            "1-device run: sharded tiled path exercised for liveness only; "
+            "throughput reported only on a multi-chip mesh"
+        )
 
 
 def bench_host_pipeline():
@@ -290,6 +311,15 @@ def main():
     extra["flops_per_slice"] = flops_per_slice
     extra["ms_per_slice"] = round(1000.0 / slices_per_s, 2)
     extra["tflops_achieved"] = round(flops_per_slice * slices_per_s / 1e12, 3)
+    # MFU two ways (VERDICT r3 #9): against the v5e bf16 paper peak and
+    # against this environment's MEASURED matmul ceiling (163 TFLOP/s,
+    # 8192^3 bf16 chain — PERF.md timing-protocol validation)
+    extra["mfu_vs_peak_bf16"] = round(
+        flops_per_slice * slices_per_s / (394.0e12), 4
+    )
+    extra["mfu_vs_measured_ceiling"] = round(
+        flops_per_slice * slices_per_s / (163.0e12), 4
+    )
 
     try:
         steps_per_s = bench_train_step()
@@ -308,6 +338,11 @@ def main():
         extra["v5e8_train_samples_per_s_projected"] = round(steps_per_s * TRAIN_BATCH * 8, 2)
         extra["v5e8_train_vs_baseline_projected"] = round(
             steps_per_s * TRAIN_BATCH * 8 / A100_BASELINE_TRAIN_SAMPLES_PER_S, 2
+        )
+        extra["v5e8_projection_basis"] = (
+            "measured 1-chip train rate x 8: NOT a measurement — dp step is "
+            "one jit program with batch sharded; correctness validated on 8 "
+            "virtual devices, multi-chip hardware unavailable here"
         )
     except Exception as e:
         extra["train_error"] = repr(e)[:200]
@@ -329,9 +364,12 @@ def main():
         "unit": "slices/sec/chip",
         "vs_baseline": round(slices_per_s / A100_BASELINE_SLICES_PER_S, 3),
         "baseline_note": (
-            "vs A100 torch-eager estimate 1.2 slices/s = 50x the MEASURED "
-            "torch-CPU reference anchor (0.024 slices/s @512^2); reference "
-            "publishes no numbers (BASELINE.md)"
+            f"absolute: {1000.0 / slices_per_s:.1f} ms/slice at 512^2, "
+            f"{extra['tflops_achieved']} TFLOP/s achieved (mfu keys ride "
+            "alongside). vs_baseline divides by a CONSTRUCTED A100 anchor: "
+            "50x the MEASURED torch-CPU rate of the reference model "
+            "(0.024 slices/s @512^2); the reference publishes no numbers "
+            "(BASELINE.md)"
         ),
         **extra,
     }

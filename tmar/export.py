@@ -102,6 +102,11 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default=None,
                     help="lowering target (default: current backend), "
                     "e.g. tpu or cpu")
+    ap.add_argument("--torch", action="store_true",
+                    help="write a reference-layout torch .pth instead of a "
+                    "StableHLO artifact (tmar.checkpoint.torch_export; runs "
+                    "in the reference torch NGswin via "
+                    "tools/adapter_torch_ngswin.py)")
     args = ap.parse_args(argv)
 
     from tmar.cli import _load_generator_params, _parse_sets
@@ -111,6 +116,14 @@ def main(argv=None) -> int:
     cfg = load_config(args.config, _parse_sets(args.set))
     gen = build_generator(cfg)
     params = _load_generator_params(args.checkpoint, gen, cfg)
+    if args.torch:
+        from tmar.checkpoint import save_pth
+
+        out = args.out or "ngswin_exported.pth"
+        save_pth(params, out)
+        print(f"[export] {out}: {os.path.getsize(out) / 1e6:.1f} MB "
+              "(torch state_dict, reference NGswin layout)")
+        return 0
     blob = export_generator(
         gen, params,
         batch=args.batch, size=args.size, in_chans=cfg.model.in_chans,
