@@ -39,6 +39,21 @@ IMAGE_MINMAX = (0.0, 1.0)   # reference image_get_minmax (:173-174)
 PROJ_MINMAX = (0.0, 4.0)    # reference proj_get_minmax  (:176-177)
 
 
+def _jit_radon_forward(radon):
+    """Memoized jit of ``radon.forward`` (keyed on the operator instance):
+    eager radon is a multi-dispatch einsum chain, and per-dispatch tunnel
+    latency made it the dominant per-sample cost of the r3 compare run
+    (VERDICT r3 weak #3).  A fresh ``jax.jit`` per call would re-trace every
+    sample, so the wrapper is cached on the instance."""
+    import jax
+
+    fn = getattr(radon, "_tmar_jit_forward", None)
+    if fn is None:
+        fn = jax.jit(radon.forward)
+        radon._tmar_jit_forward = fn
+    return fn
+
+
 # ------------------------------------------------------------- enrichment
 
 def enrich_sample(
@@ -66,7 +81,9 @@ def enrich_sample(
         import jax
 
         stack = np.stack([out["Xma"], out["XLI"], out["Mask"]])
-        sinos = np.asarray(jax.device_get(radon.forward(stack)))  # [3, A, det]
+        sinos = np.asarray(
+            jax.device_get(_jit_radon_forward(radon)(stack))
+        )  # [3, A, det]
         out["Sma"], out["SLI"] = sinos[0], sinos[1]
         out["Tr"] = (sinos[2] > 0).astype(np.float32)
         out["has_sinogram"] = True
@@ -200,6 +217,10 @@ def make_dudo_runner(model, params, radon=None, li_mode: str = "train"):
             {"params": p}, xma, xli, m, sma, sli, tr
         )["x"]
     )
+    # jit the per-sample SLI re-projection too: eager radon.forward was the
+    # dominant cost of the whole entry (~14 s/sample in the r3 compare run
+    # — VERDICT r3 weak #3), not the model forward
+    rproj = _jit_radon_forward(radon) if radon is not None else None
 
     def run(sample: Dict[str, np.ndarray]) -> np.ndarray:
         if sample.get("Sma") is None:
@@ -215,7 +236,7 @@ def make_dudo_runner(model, params, radon=None, li_mode: str = "train"):
             sample = dict(
                 sample,
                 XLI=li01,
-                SLI=np.asarray(jax.device_get(radon.forward(li01[None])))[0],
+                SLI=np.asarray(jax.device_get(rproj(li01[None])))[0],
             )
         xli = np.clip(sample["XLI"].astype(np.float32), 0, 1)[None, ..., None]
         m = (1.0 - (sample["Mask"] > 0.5).astype(np.float32))[None, ..., None]

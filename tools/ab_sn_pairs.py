@@ -13,6 +13,11 @@ then reports:
 
 Usage:  python tools/ab_sn_pairs.py [steps] [out_dir]
 Writes <out_dir>/sn_ab.json and prints a one-line summary per variant.
+
+``--noise`` mode (VERDICT r3 #6): instead of the fused-pairs A/B, run the
+SAME promoted config twice with different *training seeds* (identical data
+order) — the val-PSNR gap between them is the adversarial run-to-run noise
+floor the A/B gap must be read against.  Writes <out_dir>/sn_noise.json.
 """
 
 import _path  # noqa: F401  (repo root on sys.path + jax compile cache)
@@ -49,7 +54,7 @@ def sigma_errors(d_params, d_sn):
     return errs
 
 
-def run_variant(fused_pairs: bool, steps: int):
+def run_variant(fused_pairs: bool, steps: int, seed: int = 7, tag: str = None):
     from tmar.data import SyntheticMARDataset
     from tmar.train.config import TrainConfig
     from tmar.train.trainer import Trainer
@@ -69,8 +74,8 @@ def run_variant(fused_pairs: bool, steps: int):
     cfg.disc.fused_pairs = fused_pairs
     cfg.log_every = 100
     cfg.run_dir = "/tmp/sn_ab_runs"
-    cfg.run_name = "pairs" if fused_pairs else "nopairs"
-    cfg.seed = 7
+    cfg.run_name = tag or ("pairs" if fused_pairs else "nopairs")
+    cfg.seed = seed
     cfg.data.seed = 999
 
     val = SyntheticMARDataset(size=128, length=16, base_seed=4242)
@@ -91,8 +96,35 @@ def run_variant(fused_pairs: bool, steps: int):
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "reports/sn_ab"
+    args = [a for a in sys.argv[1:] if a != "--noise"]
+    noise_mode = "--noise" in sys.argv[1:]
+    steps = int(args[0]) if len(args) > 0 else 1000
+    out_dir = args[1] if len(args) > 1 else "reports/sn_ab"
+
+    if noise_mode:
+        results = {}
+        for seed in (7, 8):
+            r = run_variant(True, steps, seed=seed, tag=f"noise_seed{seed}")
+            results[f"seed{seed}"] = r
+            print(
+                f"[noise seed={seed}] steps={steps} "
+                f"val_psnr={['%.2f' % p for p in r['val_psnr']]}"
+            )
+        a, b = results["seed7"], results["seed8"]
+        k = min(len(a["val_psnr"]), len(b["val_psnr"]))
+        gaps = [abs(x - y) for x, y in zip(a["val_psnr"][:k], b["val_psnr"][:k])]
+        summary = {
+            "steps": steps,
+            "config": "promoted recipe, fused_pairs=true, seeds 7 vs 8, same data order",
+            "max_val_psnr_gap_db": max(gaps) if gaps else None,
+            "final_val_psnr_gap_db": gaps[-1] if gaps else None,
+        }
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "sn_noise.json"), "w") as f:
+            json.dump({"summary": summary, **results}, f, indent=2)
+        print(json.dumps(summary))
+        return
+
     results = {}
     for fused in (True, False):
         r = run_variant(fused, steps)
