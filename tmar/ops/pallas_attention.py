@@ -396,15 +396,18 @@ def _fused_backward(
     if windows_per_step is not None:
         T = windows_per_step
     elif impl == "batched":
-        # T=16 at N=64 overflows the DEFAULT 16 MB scoped-vmem limit by
-        # ~0.3 MB (the backward holds ~2x the forward's live set); values
-        # past 512//N therefore get a conditional compiler vmem grant on
-        # the pallas_call below.  TMAR_ATTN_BWD_T overrides the default.
+        # match the forward's batched tiling (T = 2048//N): bigger tiles
+        # amortise the grid.  The backward's ~1 MB/window live set (~2x the
+        # forward's) overflows the default 16 MB scoped vmem past T=8 at
+        # N=64, so T*N > 512 takes the conditional 64 MB compiler grant on
+        # the pallas_call below.  Measured on-chip (b8·128² promoted train
+        # step, PERF.md r4 roofline section): T=8 112.5 ms/step, T=16
+        # 105.1, T=32 102.0.  TMAR_ATTN_BWD_T overrides.
         try:
             env_t = int(os.environ.get("TMAR_ATTN_BWD_T", "0"))
         except ValueError:
             env_t = 0
-        T = env_t if env_t > 0 else max(1, 512 // N)
+        T = env_t if env_t > 0 else max(1, 2048 // N)
     else:
         # the blockdiag backward holds ~4 live [TN, TN] f32 tensors per head
         T = max(1, 256 // N)
