@@ -28,6 +28,10 @@ def test_pth_checkpoint_through_cli(tmp_path):
     import torch
 
     ref = load_reference_generator_module()
+    # seed: an unseeded random init occasionally produces negative-SSIM
+    # output on the synthetic set (seen once in a full-suite run), making
+    # the sanity bounds below flaky
+    torch.manual_seed(0)
     tmodel = ref.NGswin(
         training_img_size=64, ngrams=(2, 2, 2, 2), in_chans=1, embed_dim=32,
         depths=(2, 2, 2), num_heads=(2, 2, 2), dec_dim=32, dec_depths=2,
@@ -54,4 +58,6 @@ def test_pth_checkpoint_through_cli(tmp_path):
     metrics = json.load(open(os.path.join(out_dir, "metrics.json")))
     assert metrics["summary"]["n"] == 2
     assert 0 < metrics["summary"]["psnr"] < 60
-    assert 0 < metrics["summary"]["ssim"] <= 1
+    # a random-init net's SSIM can be anywhere in [-1, 1]; the seeded init
+    # lands positive, but the hard requirement is only validity of range
+    assert -1 <= metrics["summary"]["ssim"] <= 1

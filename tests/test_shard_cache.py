@@ -80,3 +80,33 @@ def test_cache_syndeeplesion_layout(tmp_path):
     assert cached[0]["ct"].shape == (96, 96)
     # values ran through the [-1,1] normalisation
     assert cached[0]["gt"].min() >= -1.0 and cached[0]["gt"].max() <= 1.0
+
+
+def test_synthetic_cache_dataset_config(tmp_path):
+    """data.dataset=synthetic_cache materialises the 416² slice cache once
+    and serves random crops through ShardCachedDataset (the config-reachable
+    fast host path — live synthesis caps below one chip's consumption)."""
+    from tmar.train import load_config
+    from tmar.train.trainer import build_dataset
+
+    sets = {
+        "data.dataset": "synthetic_cache",
+        "data.cache_dir": str(tmp_path / "cache"),
+        "data.cache_slices": 6,
+        "data.patch_size": 64,
+        "data.samples_per_epoch": 20,
+    }
+    ds = build_dataset(load_config(None, dict(sets)))
+    assert len(ds) == 20
+    s = ds[0]
+    assert s["ct"].shape == (64, 64) and s["gt"].shape == (64, 64)
+    assert np.isfinite(s["ct"]).all()
+    # second construction must REUSE the cache (no rebuild): marker mtime
+    import os
+
+    idx = str(tmp_path / "cache" / "index.json")
+    m0 = os.path.getmtime(idx)
+    ds2 = build_dataset(load_config(None, dict(sets)))
+    assert os.path.getmtime(idx) == m0
+    # same underlying slices -> crops drawn from identical data
+    assert len(ds2) == 20

@@ -119,7 +119,14 @@ class ParallelConfig:
 
 @dataclasses.dataclass
 class DataConfig:
-    dataset: str = "synthetic"   # "syndeeplesion" | "spineweb" | "synthetic"
+    # "syndeeplesion" | "spineweb" | "synthetic" | "synthetic_cache"
+    # (synthetic_cache materialises 416² synthetic slices into an npy shard
+    # cache once and trains on mmap reads + random crops — the live
+    # synthesizer caps at ~52 samples/s single-thread, below what one chip
+    # consumes; the cache path measured 6.9k samples/s, PERF.md host path)
+    dataset: str = "synthetic"
+    cache_dir: str = ""          # synthetic_cache location (default: tmp)
+    cache_slices: int = 512      # synthetic_cache: distinct 416² slices
     root: str = ""
     spineweb_artifact: str = ""
     spineweb_clean: str = ""

@@ -97,6 +97,31 @@ def build_dataset(cfg: TrainConfig):
     d = cfg.data
     if d.dataset == "synthetic":
         return SyntheticMARDataset(size=d.patch_size, length=d.samples_per_epoch, base_seed=d.seed)
+    if d.dataset == "synthetic_cache":
+        # one-time materialisation of full 416² slices, then mmap reads +
+        # random 128² crops at train time: live synthesis caps at ~52
+        # samples/s single-thread — below one chip's ~71 samples/s step
+        # consumption — while the cache path measured 6.9k samples/s
+        # (PERF.md host pipeline).  Crop-from-full-slice also matches the
+        # reference's SynDeepLesion patch protocol (datasets.py random
+        # crops of full slices) more closely than native-resolution
+        # synthesis.
+        import tempfile
+
+        from tmar.data import ShardCachedDataset, build_shard_cache
+
+        cache_dir = d.cache_dir or os.path.join(
+            tempfile.gettempdir(), f"tmar_synth_cache_{d.cache_slices}_{d.seed}"
+        )
+        if not os.path.isfile(os.path.join(cache_dir, "index.json")):
+            build_shard_cache(
+                SyntheticMARDataset(size=416, length=d.cache_slices, base_seed=d.seed),
+                cache_dir, shard_size=64,
+            )
+        return ShardCachedDataset(
+            cache_dir, patch_size=d.patch_size, augment=True, seed=d.seed,
+            length=d.samples_per_epoch,
+        )
     if d.dataset == "syndeeplesion":
         return SynDeepLesionTrainDataset(
             d.root, patch_size=d.patch_size, length=d.samples_per_epoch, seed=d.seed
@@ -114,7 +139,9 @@ def build_val_dataset(cfg: TrainConfig):
     of the train tree at full slices, datasets.py:165-236; SpineWeb test
     split; a held-out seeded synthetic set otherwise)."""
     d = cfg.data
-    if d.dataset == "synthetic":
+    if d.dataset in ("synthetic", "synthetic_cache"):
+        # held-out seeded set, synthesized live (only ~32 samples per val):
+        # base_seed offset guarantees no overlap with the train slices
         return SyntheticMARDataset(
             size=d.patch_size, length=min(32, d.samples_per_epoch),
             base_seed=d.seed + 10_000,
