@@ -109,8 +109,11 @@ class ParallelConfig:
                ``model_parallel``-wide model axis (gan_state_shardings).
     ``fsdp`` — ZeRO: every eligible param/moment leaf of BOTH networks
                sharded over the data axis.
-    tp/fsdp require the plain XLA attention path (the fused Pallas kernels
-    expect unsharded operands) — Trainer enforces this.
+    ``tp`` requires the plain XLA attention path (the fused Pallas kernels
+    are written against the full head set, which TP Megatron-splits) —
+    Trainer enforces this.  ``fsdp`` composes with the fused kernels:
+    params are ZeRO-sharded at rest and all-gathered at use, so the
+    kernels see full tensors.
     """
 
     mode: str = "dp"            # "dp" | "tp" | "fsdp"

@@ -4,7 +4,7 @@ Runs the reference's own torch model (loaded through the tests/torch_ref.py
 shim — reference models/generator/ngswin.py) inside its own interpreter,
 speaking the ``tmar.eval.adapters.SubprocessAdapter`` npz/npy protocol.
 Weights come from a ``.pth`` exported from a TRAINED tmar checkpoint
-(``tmar.checkpoint.save_pth`` / ``tmar-compare --export-torch``), so entering
+(``tmar.checkpoint.save_pth`` / ``tools/export_pth.py``), so entering
 this adapter next to the ``tmar`` entry puts the SAME weights through BOTH
 frameworks end-to-end on the comparison protocol — the BASELINE.md
 north-star (PSNR within 0.1 dB), measured at program scale instead of
