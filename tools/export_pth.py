@@ -9,9 +9,10 @@ flattening, ``main.``-style plain keys.  Feed the result to
 weights as the tmar entry in a ``tmar-compare`` table (BASELINE.md
 north-star: end-to-end PSNR parity within 0.1 dB).
 
-Usage:
-  python tools/export_pth.py --checkpoint runs/<run>/checkpoints \
-      [--config cfg.yaml] [--set k=v ...] out.pth
+Usage (output path first — a trailing positional after ``--set k=v`` would
+be consumed by the greedy nargs='*'):
+  python tools/export_pth.py out.pth --checkpoint runs/<run>/checkpoints \
+      [--config cfg.yaml] [--set k=v ...]
 """
 import _path  # noqa: F401  (repo root on sys.path + jax compile cache)
 import argparse
