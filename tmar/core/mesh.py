@@ -93,8 +93,21 @@ def _tp_spec(path) -> P:
     other leaves (norms, convs, RPB tables, logit scales) are replicated.
     Suffix matching makes the same rule cover optimizer-moment mirrors of
     the params (adam mu/nu carry the param path as a suffix).
+
+    The n-gram context layers are excluded (replicated): their sliding
+    attention runs on tiny per-window tensors (e.g. [B·nW, heads, 4, 4])
+    whose reshapes GSPMD cannot re-shard from the batch layout to a
+    head-split layout — it falls back to "Involuntary full
+    rematerialization" (replicate-then-partition) on every NSTB, measured
+    in the r4 multichip dryrun (MULTICHIP_r04 tail; XLA b/433785288).
+    Head-splitting them would cost more in that fallback than the tiny
+    matmuls save, so TP is scoped to the main window-attention + FFN
+    matmuls where the Megatron split actually pays; ngram params ride the
+    data axis replicated.  The dryrun asserts the warning count is zero.
     """
     s = jax.tree_util.keystr(path)
+    if "['ngram_context']" in s:
+        return P()
     if s.endswith("['qkv']['kernel']") or s.endswith("['fc1']['kernel']"):
         return P(None, MODEL_AXIS)
     if s.endswith("['qkv']['bias']") or s.endswith("['fc1']['bias']"):
@@ -111,11 +124,21 @@ def tp_shardings(mesh: Mesh, tree):
     )
 
 
-def _fsdp_spec(leaf, data_size: int) -> P:
+def _fsdp_spec(leaf, data_size: int, path=None) -> P:
     """ZeRO/FSDP-style rule: shard a leaf's largest divisible dim over
     DATA_AXIS (params + optimizer moments live sharded; XLA all-gathers
     params at use and reduce-scatters gradients from the annotations).
-    Leaves with no dim divisible by the data-axis size stay replicated."""
+    Leaves with no dim divisible by the data-axis size stay replicated.
+
+    The n-gram context layers are excluded for the same measured reason as
+    in ``_tp_spec``: sharding their packed qkv output dim makes GSPMD
+    propagate a head-split layout into the tiny per-window attention
+    reshapes and fall back to involuntary full rematerialization on every
+    step (r5 dryrun, 40 warnings in the FSDP step compile — the burst the
+    r4 tail attributed to tp).  They are a small fraction of the params;
+    replicating them costs ZeRO almost nothing."""
+    if path is not None and "['ngram_context']" in jax.tree_util.keystr(path):
+        return P()
     shape = getattr(leaf, "shape", ())
     for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
         if shape[i] >= 2 and shape[i] % data_size == 0:
@@ -128,8 +151,8 @@ def _fsdp_spec(leaf, data_size: int) -> P:
 def fsdp_shardings(mesh: Mesh, tree):
     """NamedSharding tree sharding every eligible leaf over DATA_AXIS."""
     n = mesh.shape[DATA_AXIS]
-    return jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(mesh, _fsdp_spec(leaf, n)), tree
+    return jax.tree_util.tree_map_with_path(
+        lambda p, leaf: NamedSharding(mesh, _fsdp_spec(leaf, n, p)), tree
     )
 
 
