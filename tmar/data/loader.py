@@ -26,16 +26,25 @@ class Loader:
         num_workers: int = 2,
         prefetch: int = 4,
         drop_last: bool = True,
+        pad_last: bool = False,
         mesh=None,
         keys=("ct", "gt"),
     ):
+        """``pad_last`` (with ``drop_last=False``): cycle a short final
+        batch back to ``batch_size`` — keeps the jit shape bucket and mesh
+        divisibility — and attach a float ``valid`` mask [B] marking the
+        distinct samples.  Without it a dataset smaller than one batch
+        yields NOTHING (drop_last) or an off-shape batch; the r5 h5prod
+        program run hit exactly that (2-slice val split at batch 8 →
+        zero val batches → NaN val PSNR, no best checkpoint)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
-        self.drop_last = drop_last
+        self.drop_last = drop_last and not pad_last
+        self.pad_last = pad_last
         self.mesh = mesh
         self.keys = keys
         self._epoch = 0
@@ -54,6 +63,12 @@ class Loader:
             yield order[b * self.batch_size : (b + 1) * self.batch_size]
 
     def _assemble(self, indices) -> Dict[str, np.ndarray]:
+        n_valid = len(indices)
+        if self.pad_last and n_valid < self.batch_size:
+            # cycle, don't repeat-last: when batch_size % n_valid == 0 the
+            # padded batch-mean of any metric equals the true mean over the
+            # distinct samples
+            indices = np.resize(np.asarray(indices), self.batch_size)
         samples = [self.dataset[int(i)] for i in indices]
         batch = {}
         for k in self.keys:
@@ -61,6 +76,8 @@ class Loader:
             if arr.ndim == 3:
                 arr = arr[..., None]  # NHWC
             batch[k] = np.ascontiguousarray(arr, dtype=np.float32)
+        if self.pad_last:
+            batch["valid"] = (np.arange(len(indices)) < n_valid).astype(np.float32)
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -382,12 +382,18 @@ class Trainer:
         additionally computes SSIM/MAE/RMSE plus the regional
         metal/band/non-metal and HU-domain families the reference's ablation
         validation reports (run_ablation_studies.py:1656-1843)."""
+        # pad_last: a val split smaller than one batch must still validate
+        # (the r5 h5prod run's 2-slice SynDeepLesion val split produced ZERO
+        # batches under drop_last → NaN val PSNR and no best checkpoint);
+        # cyclic padding keeps the jit shape bucket and mesh divisibility
         loader = Loader(
             self.val_dataset,
             batch_size=self.cfg.data.batch_size,
             shuffle=False,
             num_workers=self.cfg.data.num_workers,
             mesh=self.mesh,
+            drop_last=False,
+            pad_last=True,
         )
         psnrs, mses = [], []
         extra: Dict[str, list] = {}
@@ -404,16 +410,33 @@ class Trainer:
         for i, batch in enumerate(loader):
             if i >= max_batches:
                 break
+            batch = dict(batch)
+            vm = batch.pop("valid", None)
+            B = batch["ct"].shape[0]
+            n_valid = (
+                int(np.asarray(jax.device_get(vm)).sum()) if vm is not None else B
+            )
             fake, m = self.eval_step(g_eval, batch)
-            psnrs.append(float(m["psnr"]))
-            mses.append(float(m["mse"]))
+            if B % max(n_valid, 1) == 0:
+                # full batch, or cyclic padding with an exact mean (each
+                # distinct sample appears B/n_valid times)
+                psnrs.append(float(m["psnr"]))
+                mses.append(float(m["mse"]))
+            else:
+                fk_p = np.asarray(jax.device_get(fake))[:n_valid]
+                gt_p = np.asarray(jax.device_get(batch["gt"]))[:n_valid]
+                per_mse = np.mean((fk_p - gt_p) ** 2, axis=(1, 2, 3))
+                mses.append(float(per_mse.mean()))
+                psnrs.append(
+                    float(np.mean(10.0 * np.log10(4.0 / np.maximum(per_mse, 1e-12))))
+                )
             if full_metrics:
                 from tmar.eval import metrics as M
 
                 fk = np.asarray(jax.device_get(fake))[..., 0]
                 gt = np.asarray(jax.device_get(batch["gt"]))[..., 0]
                 ct = np.asarray(jax.device_get(batch["ct"]))[..., 0]
-                for b in range(fk.shape[0]):
+                for b in range(min(fk.shape[0], n_valid)):
                     p01 = np.clip((fk[b] + 1) / 2, 0, 1)
                     g01 = np.clip((gt[b] + 1) / 2, 0, 1)
                     row = {
