@@ -212,3 +212,62 @@ def test_run_comparison_mixed_entries(tmp_path):
     figs = sorted(os.listdir(out / "figures"))
     assert any(f.startswith("composite_sample_") for f in figs)
     assert any(f.startswith("profiles_sample_") for f in figs)
+
+
+CORE_SCRIPT = """import sys
+import numpy as np
+d = np.load(sys.argv[1])
+assert set(d.files) >= {"Xma255", "XLI255", "non_mask"}, d.files
+np.save(sys.argv[2], d["Xma255"] * 0.5)
+"""
+
+
+def test_subprocess_core_x255_protocol(tmp_path, sample):
+    """make_protocol_subprocess_runner('x255'): the in-repo x255 protocol
+    wraps an out-of-process core — the core sees the ×255 arrays under
+    their documented npz keys and its ×255 output rides the div255 post."""
+    from tmar.eval.adapters import make_protocol_subprocess_runner
+
+    script = tmp_path / "core.py"
+    script.write_text(CORE_SCRIPT)
+    run = make_protocol_subprocess_runner("x255", [sys.executable, str(script)])
+    e = enrich_sample(sample)
+    out = run(e)
+    np.testing.assert_allclose(
+        out, np.clip(np.clip(e["Xma"], 0, 1) * 0.5, 0, 1), atol=1e-6
+    )
+
+
+def test_subprocess_core_sparse_protocol(tmp_path, sample, radon32):
+    """sparse protocol out-of-process: the core receives the sparse-view
+    ×255 FBP arrays + TrDC and returns out255 (here: the input), post
+    processed with the clamp-to-0.5 MEPNet rule."""
+    from tmar.eval.adapters import make_protocol_subprocess_runner
+
+    script = tmp_path / "core.py"
+    script.write_text(
+        "import sys\nimport numpy as np\n"
+        "d = np.load(sys.argv[1])\n"
+        "assert set(d.files) >= {'Xma255','XLI255','Mask','Sma255','SLI255','TrDC'}\n"
+        "np.save(sys.argv[2], d['Xma255'])\n"
+    )
+    run = make_protocol_subprocess_runner(
+        "sparse", [sys.executable, str(script)], radon=radon32
+    )
+    out = run(enrich_sample(sample, radon=radon32))
+    assert out.shape == sample["ct"].shape and np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_subprocess_core_unknown_protocol():
+    from tmar.eval.adapters import make_protocol_subprocess_runner
+
+    with pytest.raises(ValueError, match="unknown adapter protocol"):
+        make_protocol_subprocess_runner("bogus", ["true"])
+
+
+def test_subprocess_core_sparse_needs_radon():
+    from tmar.eval.adapters import make_protocol_subprocess_runner
+
+    with pytest.raises(ValueError, match="radon"):
+        make_protocol_subprocess_runner("sparse", ["true"], radon=None)

@@ -264,9 +264,15 @@ def compare(argv=None) -> int:
     ap.add_argument("--checkpoints", nargs="*", default=[],
                     help="name=path pairs (orbax dir or .pth); 'identity' allowed")
     ap.add_argument("--adapter", nargs="*", default=[],
-                    help="name=<shell command> out-of-process adapters; the "
-                         "command gets <input.npz> <output.npy> appended "
-                         "(tmar.eval.adapters.SubprocessAdapter protocol)")
+                    help="name=[protocol:]<shell command> out-of-process "
+                         "adapters; the command gets <input.npz> <output.npy> "
+                         "appended.  Without a protocol prefix the raw "
+                         "enriched sample crosses the boundary "
+                         "(SubprocessAdapter); with x255/x255half/sparse/nmar "
+                         "the in-repo preprocessing protocol wraps the "
+                         "subprocess as its model core "
+                         "(make_protocol_subprocess_runner); sparse/nmar "
+                         "need --sinograms")
     ap.add_argument("--dudo", nargs="*", default=[],
                     help="name=<params.pkl> entries for the in-tree "
                          "dual-domain net (tmar-finetune --arch dudo output); "
@@ -290,7 +296,8 @@ def compare(argv=None) -> int:
 
     import shlex
 
-    from tmar.eval.adapters import SubprocessAdapter
+    from tmar.eval.adapters import (PROTOCOL_CORE_KEYS, SubprocessAdapter,
+                                    make_protocol_subprocess_runner)
     from tmar.eval.harness import ModelEntry, run_comparison
     from tmar.eval import make_inference_fn
     from tmar.train import load_config
@@ -306,15 +313,23 @@ def compare(argv=None) -> int:
         gen = build_generator(cfg)
         params = _load_generator_params(path, gen, cfg)
         entries.append(ModelEntry(name, make_inference_fn(gen, params)))
+    # adapters parse in two steps: protocol prefixes (sparse/nmar) need the
+    # radon operator, which is sized from the dataset below
+    adapter_specs = []
     for spec in args.adapter:
         name, _, cmd = spec.partition("=")
         if not cmd:
-            raise SystemExit(f"--adapter expects name=command, got {spec!r}")
-        entries.append(ModelEntry(name, runner=SubprocessAdapter(shlex.split(cmd))))
+            raise SystemExit(f"--adapter expects name=[protocol:]command, got {spec!r}")
+        protocol = None
+        head, sep, rest = cmd.partition(":")
+        if sep and head in (*PROTOCOL_CORE_KEYS, "raw"):
+            protocol, cmd = (None if head == "raw" else head), rest
+        adapter_specs.append((name, protocol, cmd))
 
     ds = _build_test_dataset(cfg)
     radon = None
-    if args.sinograms or args.dudo:
+    needs_radon = any(p in ("sparse", "nmar") for _, p, _ in adapter_specs)
+    if args.sinograms or args.dudo or needs_radon:
         import numpy as np
 
         from tmar.ops import Radon
@@ -323,6 +338,15 @@ def compare(argv=None) -> int:
         radon = Radon(
             size, np.linspace(0, np.pi, cfg.radon.num_angles, endpoint=False)
         )
+
+    for name, protocol, cmd in adapter_specs:
+        if protocol is None:
+            runner = SubprocessAdapter(shlex.split(cmd))
+        else:
+            runner = make_protocol_subprocess_runner(
+                protocol, shlex.split(cmd), radon=radon
+            )
+        entries.append(ModelEntry(name, runner=runner))
     for spec in args.dudo:
         import pickle
 

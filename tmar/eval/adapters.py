@@ -31,7 +31,7 @@ from __future__ import annotations
 import os
 import subprocess
 import tempfile
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 
@@ -335,3 +335,94 @@ class SubprocessAdapter:
         if pred.ndim != 2:
             pred = np.squeeze(pred)
         return np.clip(pred.astype(np.float32), 0, 1)
+
+
+class SubprocessCore:
+    """Out-of-process CORE for a protocol runner (make_x255_runner /
+    make_sparse_view_runner / make_nmar_runner).
+
+    Where :class:`SubprocessAdapter` ships the raw enriched sample and
+    expects a finished [0,1] prediction, this bridges the *inside* of a
+    protocol: the harness-side runner does the reference's per-model
+    normalization (×255, sparse-view FBP, NMAR prior — adapters above) and
+    postprocessing, and only the model core crosses the process boundary.
+    The positional arrays the runner passes are written to ``input.npz``
+    under ``keys``; the subprocess returns the protocol-domain output
+    (e.g. ×255) UNclipped — interpretation stays with the runner.
+
+    This is the seam the reference's third-party torch models sit behind
+    (benchmark_comparison_syndeeplesion.py:553-875, each model wrapped in
+    its own normalize/denormalize pair).
+    """
+
+    def __init__(self, cmd, keys: Sequence[str], workdir: Optional[str] = None,
+                 timeout: float = 600.0):
+        self.cmd = list(cmd)
+        self.keys = tuple(keys)
+        self.workdir = workdir
+        self.timeout = timeout
+
+    def __call__(self, *arrays: np.ndarray) -> np.ndarray:
+        if len(arrays) != len(self.keys):
+            raise ValueError(
+                f"protocol core expected {len(self.keys)} arrays "
+                f"({self.keys}), got {len(arrays)}"
+            )
+        with tempfile.TemporaryDirectory(prefix="tmar_core_") as td:
+            in_path = os.path.join(td, "input.npz")
+            out_path = os.path.join(td, "output.npy")
+            np.savez(in_path, **{
+                k: np.asarray(v, np.float32) for k, v in zip(self.keys, arrays)
+            })
+            proc = subprocess.run(
+                self.cmd + [in_path, out_path],
+                cwd=self.workdir,
+                timeout=self.timeout,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"protocol-core subprocess failed (rc={proc.returncode}):\n"
+                    + proc.stdout[-2000:]
+                )
+            out = np.load(out_path)
+        return np.squeeze(out).astype(np.float32)
+
+
+#: npz key layout each protocol's positional core arguments are written
+#: under when the core runs out-of-process (SubprocessCore)
+PROTOCOL_CORE_KEYS = {
+    "x255": ("Xma255", "XLI255", "non_mask"),
+    "x255half": ("Xma255", "XLI255", "non_mask"),
+    "sparse": ("Xma255", "XLI255", "Mask", "Sma255", "SLI255", "TrDC"),
+    "nmar": ("Xma255", "XLI255", "Sma255", "SLI255", "Tr", "Xprior255"),
+}
+
+
+def make_protocol_subprocess_runner(protocol: str, cmd, radon=None,
+                                    sparse_factor: int = 2):
+    """Wrap an out-of-process model core in one of the reference's
+    preprocessing protocols: ``x255`` (DICDNet ÷255 post), ``x255half``
+    (FIND-Net clamp-to-0.5 post), ``sparse`` (MEPNet sparse-view FBP;
+    needs ``radon``), ``nmar`` (InDuDoNet+ NMAR prior).  ``raw`` is NOT
+    here — that is plain :class:`SubprocessAdapter`."""
+    try:
+        keys = PROTOCOL_CORE_KEYS[protocol]
+    except KeyError:
+        raise ValueError(
+            f"unknown adapter protocol {protocol!r} "
+            f"(one of {sorted(PROTOCOL_CORE_KEYS)} or raw)"
+        ) from None
+    core = SubprocessCore(cmd, keys)
+    if protocol == "x255":
+        return make_x255_runner(core, postprocess="div255")
+    if protocol == "x255half":
+        return make_x255_runner(core, postprocess="half")
+    if protocol == "sparse":
+        if radon is None:
+            raise ValueError("sparse protocol needs a radon operator "
+                             "(tmar-compare --sinograms)")
+        return make_sparse_view_runner(core, radon, factor=sparse_factor)
+    return make_nmar_runner(core)
