@@ -151,3 +151,34 @@ def test_fused_backward_env_T_override(monkeypatch):
     )
     for pg, rg in zip(pal_grads, ref_grads):
         np.testing.assert_allclose(np.asarray(pg), np.asarray(rg), atol=5e-4, rtol=5e-3)
+
+
+def test_fused_backward_cot_bf16_mode(monkeypatch):
+    """TMAR_ATTN_BWD_COT=bf16 runs the cotangent dots' operands in bf16
+    (f32 accumulation kept) — the numerics class of the XLA bf16 backward.
+    Parity vs jax.vjp of the math at bf16-appropriate tolerances."""
+    monkeypatch.setenv("TMAR_ATTN_BWD_COT", "bf16")
+    N, D, nh, hd = 64, 64, 4, 16
+    wh = ww = 4
+    B_ = wh * ww
+    args = _make_inputs(B_, N, D, nh, hd, seed=5)
+    g = jnp.asarray(
+        np.random.default_rng(6).normal(size=(B_, N, D)).astype(np.float32)
+    )
+    ref_out, ref_grads = _grads(
+        lambda *a: window_attention_math(*a, num_heads=nh), args, g
+    )
+    pal_out, pal_grads = _grads(
+        lambda *a: fused_window_attention(
+            *a, num_heads=nh, interpret=True, backward="pallas"
+        ),
+        args, g,
+    )
+    np.testing.assert_allclose(np.asarray(pal_out), np.asarray(ref_out), atol=2e-4)
+    names = ["dx", "dwqkv", "dbqkv", "dlogit_scale", "dbias", "dwproj", "dbproj"]
+    for name, pg, rg in zip(names, pal_grads, ref_grads):
+        scale = max(1.0, float(np.abs(np.asarray(rg)).max()))
+        np.testing.assert_allclose(
+            np.asarray(pg) / scale, np.asarray(rg) / scale, atol=3e-2,
+            err_msg=f"cotangent {name} mismatch (bf16 cot mode)",
+        )

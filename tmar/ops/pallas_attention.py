@@ -453,9 +453,18 @@ def _fused_backward(
     kernel_fn = (
         _attn_bwd_kernel_batched if impl == "batched" else _attn_bwd_kernel
     )
-    kernel = functools.partial(
-        kernel_fn, T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww,
-    )
+    kwargs = dict(T=T, N=N, D=D, nh=nh, hd_p=hd_p, wh=wh, ww=ww)
+    if impl == "batched":
+        # cotangent-dot dtype ablation (VERDICT r4 next #4): the backward's
+        # gradient dots accumulate in f32 either way; running their OPERANDS
+        # in bf16 matches the numerics class of the XLA bf16 backward this
+        # kernel is equivalence-tested against (XLA computes bf16 models'
+        # grad dots in bf16 too) at the MXU's native rate.
+        # TMAR_ATTN_BWD_COT=bf16 enables; default f32 (the r4 behaviour)
+        # pending the on-chip A/B in PERF.md's backward-ablation section.
+        # Grad-parity tolerances: tests/test_pallas_attention_bwd.py.
+        kwargs["cot_bf16"] = os.environ.get("TMAR_ATTN_BWD_COT", "f32") == "bf16"
+    kernel = functools.partial(kernel_fn, **kwargs)
     Nrow, Ncol = (N, N) if impl == "batched" else (TN, TN)
     const = lambda i: (0, 0)  # noqa: E731
     dx, dw_p, dbq_p, dscale, dbias, dwp_p, dbp = pl.pallas_call(
@@ -542,19 +551,23 @@ def _attn_bwd_kernel_batched(
     x_ref, g_ref, wqkv_ref, bqkv_ref, scale_ref, bias_ref, wproj_ref,
     mrow_ref, mcol_ref, ones_ref,
     dx_ref, dw_ref, dbq_ref, dscale_ref, dbias_ref, dwp_ref, dbp_ref,
-    *, T, N, D, nh, hd_p, wh, ww,
+    *, T, N, D, nh, hd_p, wh, ww, cot_bf16=False,
 ):
     """Batched-shape fused backward: recomputes the forward and emits all
     seven cotangents with every score-sized tensor shaped [T, N, N] — no
     [TN, TN] working set, MXU-matmul q/k norms (and their backward as two
     MXU dots), batched dot_generals throughout.  ``bias_ref`` is the raw
-    [nh, N, N] bias; ``mrow_ref``/``mcol_ref`` raw [N, N]."""
+    [nh, N, N] bias; ``mrow_ref``/``mcol_ref`` raw [N, N].  ``cot_bf16``
+    runs the cotangent dots' operands in bf16 (f32 accumulation kept)."""
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
     TN = T * N
     A_p = nh * hd_p
     A2 = 2 * A_p
+    # cotangent-dot operand dtype (accumulation stays f32 via
+    # preferred_element_type on every dot below)
+    gdt = jnp.bfloat16 if cot_bf16 else jnp.float32
 
     @pl.when(i == 0)
     def _init():
@@ -611,15 +624,18 @@ def _attn_bwd_kernel_batched(
         )                                            # [T, N, hd_p]
         accs.append(o.reshape(TN, hd_p))
 
-        wp_h = wproj_ref[h * hd_p : (h + 1) * hd_p, :].astype(jnp.float32)
+        wp_h = wproj_ref[h * hd_p : (h + 1) * hd_p, :].astype(gdt)
         dacc = jax.lax.dot_general(                  # g @ wp_hᵀ -> [TN, hd_p]
-            gf, wp_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            gf.astype(gdt), wp_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ).reshape(T, N, hd_p)
         dp = jax.lax.dot_general(                    # [T, N, N]
-            dacc, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            dacc.astype(gdt), v.astype(gdt), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         dv = jax.lax.dot_general(                    # pᵀ @ dacc -> [T, N(m), hd_p]
-            p, dacc, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p.astype(gdt), dacc.astype(gdt), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
 
@@ -628,10 +644,12 @@ def _attn_bwd_kernel_batched(
 
         dcos = ds * scale_ref[0, h]
         dqn = jax.lax.dot_general(                   # [T, N, hd_p]
-            dcos, kn, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            dcos.astype(gdt), kn.astype(gdt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         dkn = jax.lax.dot_general(                   # dcosᵀ @ qn over n
-            dcos, qn, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            dcos.astype(gdt), qn.astype(gdt), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         dqkn_parts.append((dqn.reshape(TN, hd_p), dkn.reshape(TN, hd_p)))
         dv_parts.append(dv.reshape(TN, hd_p))
@@ -647,18 +665,19 @@ def _attn_bwd_kernel_batched(
 
     acc = jnp.concatenate(accs, axis=-1)             # [TN, A_p] f32
     dwp_ref[:] += jax.lax.dot_general(               # accᵀ @ g -> [A_p, D]
-        acc, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        acc.astype(gdt), gf.astype(gdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dbp_ref[:] += jnp.sum(gf, axis=0, keepdims=True)
 
     dqkv = jnp.concatenate([dqk] + dv_parts, axis=-1)  # [TN, 3·A_p] f32
     dx = jax.lax.dot_general(                          # dqkv @ wqkvᵀ -> [TN, D]
-        dqkv, wqkv_ref[:].astype(jnp.float32),
+        dqkv.astype(gdt), wqkv_ref[:].astype(gdt),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
     dx_ref[:] = dx.astype(dx_ref.dtype)
     dw_ref[:] += jax.lax.dot_general(                  # xᵀ @ dqkv -> [D, 3·A_p]
-        x.astype(jnp.float32), dqkv,
+        x.astype(gdt), dqkv.astype(gdt),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     dbq_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
