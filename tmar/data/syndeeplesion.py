@@ -23,14 +23,22 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from tmar.data.transforms import normalize01_to_pm1, random_crop_pair, random_flip_pair
+from tmar.data.transforms import normalize01_to_pm1, random_flip_pair
 
 
-def _read_h5(path: str, keys: List[str]) -> List[np.ndarray]:
+def _read_h5(path: str, keys: List[str], window=None) -> List[np.ndarray]:
+    """Read datasets, optionally only a ``(row, col, patch)`` window —
+    partial h5 reads touch ~p²/416² of the bytes of a full slice, the
+    difference between the train loader streaming crops and re-reading
+    whole slices (SURVEY §7.3 names h5 random access as the reference's
+    input bottleneck; its loader always reads full slices)."""
     import h5py
 
     with h5py.File(path, "r") as f:
-        return [np.asarray(f[k]) for k in keys]
+        if window is None:
+            return [np.asarray(f[k]) for k in keys]
+        r, c, p = window
+        return [np.asarray(f[k][r : r + p, c : c + p]) for k in keys]
 
 
 class _SynDeepLesionBase:
@@ -47,15 +55,27 @@ class _SynDeepLesionBase:
     def __len__(self) -> int:
         return len(self.files)
 
-    def _load_triplet(self, gt_path: str, mask_id: int):
+    def _load_triplet(self, gt_path: str, mask_id: int, window=None):
         data_path = os.path.join(os.path.dirname(gt_path), f"{mask_id}.h5")
-        xma, xli = _read_h5(data_path, ["ma_CT", "LI_CT"])
-        (xgt,) = _read_h5(gt_path, ["image"])
+        xma, xli = _read_h5(data_path, ["ma_CT", "LI_CT"], window)
+        (xgt,) = _read_h5(gt_path, ["image"], window)
         return (
             normalize01_to_pm1(xma),
             normalize01_to_pm1(xgt),
             normalize01_to_pm1(xli),
         )
+
+    def _slice_shape(self, gt_path: str):
+        cache = getattr(self, "_shape_cache", None)
+        if cache is None:
+            cache = self._shape_cache = {}
+        shape = cache.get(gt_path)
+        if shape is None:
+            import h5py
+
+            with h5py.File(gt_path, "r") as f:
+                shape = cache[gt_path] = f["image"].shape
+        return shape
 
 
 class SynDeepLesionTrainDataset(_SynDeepLesionBase):
@@ -83,8 +103,19 @@ class SynDeepLesionTrainDataset(_SynDeepLesionBase):
             try:
                 gt_path = self.files[idx % len(self.files)]
                 mask_id = int(self.mask_state.randint(0, self.n_masks))
-                ct, gt, li = self._load_triplet(gt_path, mask_id)
-                ct, gt, li = random_crop_pair((ct, gt, li), self.patch_size, self.crop_state)
+                # crop coords first (same crop_state randint,randint call
+                # order as random_crop_pair, so sample streams are
+                # unchanged), then PARTIAL h5 reads of just the patch —
+                # normalize/crop commute pointwise
+                h, w = self._slice_shape(gt_path)
+                p = self.patch_size
+                if h == p and w == p:
+                    window = None
+                else:
+                    row = self.crop_state.randint(0, h - p + 1)
+                    col = self.crop_state.randint(0, w - p + 1)
+                    window = (row, col, p)
+                ct, gt, li = self._load_triplet(gt_path, mask_id, window)
                 ct, gt, li = random_flip_pair((ct, gt, li), self.aug_state)
                 return {"ct": ct, "gt": gt, "li": li}
             except (OSError, FileNotFoundError, KeyError):

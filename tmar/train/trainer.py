@@ -129,7 +129,7 @@ def build_dataset(cfg: TrainConfig):
     if d.dataset == "spineweb":
         return SpineWebDataset(
             d.spineweb_artifact, d.spineweb_clean, patch_size=d.patch_size, train=True,
-            seed=d.seed,
+            seed=d.seed, length=d.samples_per_epoch,
         )
     raise ValueError(f"unknown dataset {d.dataset!r}")
 
