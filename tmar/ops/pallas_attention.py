@@ -460,10 +460,18 @@ def _fused_backward(
         # in bf16 matches the numerics class of the XLA bf16 backward this
         # kernel is equivalence-tested against (XLA computes bf16 models'
         # grad dots in bf16 too) at the MXU's native rate.
-        # TMAR_ATTN_BWD_COT=bf16 enables; default f32 (the r4 behaviour)
-        # pending the on-chip A/B in PERF.md's backward-ablation section.
-        # Grad-parity tolerances: tests/test_pallas_attention_bwd.py.
-        kwargs["cot_bf16"] = os.environ.get("TMAR_ATTN_BWD_COT", "f32") == "bf16"
+        # On-chip ablation (PERF.md backward section, b8·128² promoted
+        # step): f32/T32 103.9 ms, f32/T64 101.6, bf16/T32 101.2, bf16/T64
+        # 105.4 (the 96 MB vmem grant it needs costs more than the tiling
+        # buys).  The r2 pallas-vs-xla training A/B already validated the
+        # bf16-grad-dot class at program scale, so the default is: bf16
+        # cotangent dots for bf16 inputs; f32 inputs stay f32 (CPU tests
+        # and f32 runs bit-unchanged).  TMAR_ATTN_BWD_COT=f32|bf16
+        # overrides.  Grad-parity: tests/test_pallas_attention_bwd.py.
+        cot_env = os.environ.get("TMAR_ATTN_BWD_COT", "")
+        kwargs["cot_bf16"] = (
+            cot_env == "bf16" if cot_env else x.dtype == jnp.bfloat16
+        )
     kernel = functools.partial(kernel_fn, **kwargs)
     Nrow, Ncol = (N, N) if impl == "batched" else (TN, TN)
     const = lambda i: (0, 0)  # noqa: E731
@@ -503,9 +511,16 @@ def _fused_backward(
         # the batched backward's live set is ~1 MB/window at N=64: T past
         # the default 512//N needs more than the 16 MB default scoped vmem
         # (granted conditionally — the grant alone costs ~2% when unused,
-        # PERF.md stacked-head note)
+        # PERF.md stacked-head note).  The bf16-cotangent mode adds cast
+        # copies of the dot operands (~1.2 MB over 64 MB at T=64·N=64,
+        # measured OOM in the r5 ablation), so it takes a 96 MB grant at
+        # the largest tiling.
         compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+            pltpu.CompilerParams(
+                vmem_limit_bytes=(
+                    96 if kwargs.get("cot_bf16") and T * N > 2048 else 64
+                ) * 1024 * 1024
+            )
             if impl == "batched" and T * N > 512
             else None
         ),
