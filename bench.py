@@ -124,8 +124,12 @@ def bench_train_step():
         jax.random.PRNGKey(0), gen, disc, g_tx, d_tx, patch_size=TRAIN_PATCH
     )
     radon = Radon(TRAIN_PATCH, np.linspace(0, np.pi, 180, endpoint=False))
+    # donate=True is the Trainer's actual configuration (steps.py default:
+    # the state is donated every step); benching the undonated variant
+    # measured a phantom ~1.4 ms/step of buffer churn the production loop
+    # never pays (r5: 101.2 ms undonated vs 99.7 donated, 10.03 steps/s)
     step = make_train_step(
-        gen, disc, g_tx, d_tx, LossWeights(), projector=radon, donate=False,
+        gen, disc, g_tx, d_tx, LossWeights(), projector=radon, donate=True,
         fused_pairs=True
     )
 
