@@ -463,11 +463,14 @@ def _fused_backward(
         # On-chip ablation (PERF.md backward section, b8·128² promoted
         # step): f32/T32 103.9 ms, f32/T64 101.6, bf16/T32 101.2, bf16/T64
         # 105.4 (the 96 MB vmem grant it needs costs more than the tiling
-        # buys).  The r2 pallas-vs-xla training A/B already validated the
-        # bf16-grad-dot class at program scale, so the default is: bf16
-        # cotangent dots for bf16 inputs; f32 inputs stay f32 (CPU tests
-        # and f32 runs bit-unchanged).  TMAR_ATTN_BWD_COT=f32|bf16
-        # overrides.  Grad-parity: tests/test_pallas_attention_bwd.py.
+        # buys).  On TPU the bf16 mode is a pure bandwidth win: Mosaic
+        # already truncates f32 dot operands to one bf16 MXU pass at
+        # default precision, and the on-chip vjp diff measured ALL seven
+        # cotangents bit-identical between modes — the casts just halve
+        # the operands' VMEM traffic.  Default: bf16 cotangent dots for
+        # bf16 inputs; f32 inputs stay f32 (CPU interpret runs true f32
+        # dots, where the cast WOULD change numerics — tolerance test
+        # covers it).  TMAR_ATTN_BWD_COT=f32|bf16 overrides.
         cot_env = os.environ.get("TMAR_ATTN_BWD_COT", "")
         kwargs["cot_bf16"] = (
             cot_env == "bf16" if cot_env else x.dtype == jnp.bfloat16
